@@ -1,0 +1,81 @@
+"""As-of join (event-time nearest-prior match), SURVEY.md §2.2 B10.
+
+Spark SQL has no native ASOF JOIN (DuckDB does — it is the oracle). The
+scalable formulation here is the *union + last-ignorenulls window* trick:
+
+    union(left tagged 1, right tagged 0)
+      -> window PARTITION BY keys ORDER BY (ts, side, tiebreak)
+      -> last(value, ignorenulls=True) rowsBetween(unboundedPreceding, current)
+      -> keep side=1 rows
+
+Why this beats a range join at 100 TB: a key-equi range join duplicates every
+left row by its candidate window before filtering (shuffle + explode), while
+the union form is ONE shuffle of |left| + |right| rows followed by a sort
+within each key partition — the same cost profile as any windowed aggregate,
+and AQE skew-split applies to it. No row amplification, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    *,
+    strict: bool = False,
+    right_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (``<`` when ``strict``) within the same key group.
+
+    Left rows with no prior right row keep NULL value columns (ASOF LEFT JOIN
+    semantics). ``right_tiebreak`` makes same-timestamp right rows
+    deterministic (last in tiebreak order wins); pre-deduplicate the right
+    side if exact determinism matters and no natural tiebreak exists.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in on and c != right_ts]
+    left_cols = left.columns
+    right_tiebreak = right_tiebreak or []
+
+    # Side ordering at equal timestamps decides inclusivity: right rows sort
+    # before left rows (side 0 < 1) for inclusive <=, after them for strict <.
+    right_side, left_side = (0, 1) if not strict else (2, 1)
+
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(right_side).alias(_SIDE),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias(_TS),
+        F.lit(left_side).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    unioned = r.unionByName(l)
+
+    order: list[Column] = [F.col(_TS).asc(), F.col(_SIDE).asc()]
+    order += [F.col(c).asc_nulls_first() for c in right_tiebreak]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    filled = unioned.select(
+        "*", *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__v_{c}") for c in value_cols]
+    )
+    out = filled.filter(F.col(_SIDE) == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+    )
+    return out

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (SURVEY §2.4 E3/E4).
+
+- cosine_topk        — exact brute-force top-k cosine: JVM-side dot/norm via
+                       zip_with + aggregate, ranked per query with a window.
+- lsh_ann_topk       — scale path: random-hyperplane LSH bucketing; candidates
+                       share >= 1 of `tables` bucket keys, then exact cosine
+                       re-rank within candidates.
+
+100 TB design: brute force is O(|Q|x|N|) and only sane for small query sets
+(it broadcasts the query set). The LSH variant shuffles on (table, bucket)
+keys so cost tracks bucket occupancy; recall tunes via bits/tables. The
+window rank partitions by query_id (high cardinality), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (JVM, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the pinned query ids.
+
+    Returns (query_id, nbr_id, cos_r DECIMAL(10,4), rank). Ranking uses the
+    ROUNDED cosine + nbr_id tiebreak so results are float-order independent.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_dp).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def lsh_buckets_udf(dim: int, bits: int, tables: int, seed: int = 42):
+    """Vectorized random-hyperplane LSH bucketizer.
+
+    Returns an Arrow-batched pandas_udf: array<float> embedding -> array<long>
+    of one bucket id per hash table. One numpy matmul per record batch — the
+    whole batch's (n x dim) matrix against a seeded (tables*bits x dim)
+    hyperplane matrix, signs packed per table into integer buckets.
+
+    Everything the UDF needs is defined inside the closure (cloudpickle
+    serializes it by value), so executors never need this package importable.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = np.random.RandomState(seed).standard_normal((tables * bits, dim))
+        weights = (1 << np.arange(bits)).astype("int64")
+        mat = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        proj = mat @ planes.T  # (n, tables*bits)
+        signs = (proj > 0).astype("int64").reshape(len(vecs), tables, bits)
+        return pd.Series(list(signs @ weights))  # (n, tables) bucket ids
+
+    return bucketize
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >=1 table, then
+    exact cosine re-rank. Shuffle key = (table, bucket)."""
+    buckets = lsh_buckets_udf(dim, bits, tables)
+
+    def bucketize(df: DataFrame, idname: str, vname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vname),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    q = bucketize(embeddings.filter(F.col(id_col).isin(query_ids)), "query_id", "qv")
+    n = bucketize(embeddings, "nbr_id", "nv")
+    cand = (
+        q.join(n, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "qv", "nbr_id", "nv")
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
+    return (
+        cand.select(
+            "query_id", "nbr_id", F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_raw")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH candidates +
+    exact verification — the embedding-space dedup tier (SURVEY E2/E4 hybrid)."""
+    buckets = lsh_buckets_udf(dim, bits, tables)
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.v").alias("va"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").alias("cos_r"))
+    )

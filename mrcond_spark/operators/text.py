@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data curation (SURVEY §2.4 E5).
+
+All expressions are JVM built-ins (split/regexp/aggregate) — no Python in the
+hot path; they compose into select()/groupBy() pipelines that scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+_EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: split on word/non-word boundaries like a BPE
+    pre-tokenizer would (letters runs, digit runs, punctuation singles)."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\s+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def lang_id_heuristic(col: Column) -> Column:
+    """Marker-word vote language ID: argmax over per-language stopword hits."""
+    toks = tokens(col)
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("unknown")
+    # first language reaching the max wins (deterministic order)
+    for lang, s in reversed(scores):
+        out = F.when(s == best, F.lit(lang)).otherwise(out) if lang != "unknown" else out
+    return F.when(best <= 0, F.lit("unknown")).otherwise(out)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, integer-exact
+    where used for oracle checks (ratios in basis points via integer math)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint")
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.when(x.isin(*_EN_STOPWORDS), F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")),
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        n_punct.alias("q_punct"),
+        n_stop.alias("q_stopwords"),
+        F.floor(n_punct * 10000 / F.greatest(n_chars, F.lit(1))).cast("bigint").alias("punct_bp"),
+        F.floor(n_stop * 10000 / F.greatest(n_tokens, F.lit(1))).cast("bigint").alias("stop_bp"),
+    )
+
+
+def doc_fingerprint(col: Column, window: int = 4) -> Column:
+    """Winnowing-style fingerprint: min over rolling shingle hashes — a single
+    BIGINT content fingerprint robust to small edits at the margins."""
+    toks = tokens(col)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.array_min(shingle_hashes)

@@ -1,0 +1,900 @@
+"""Batch-relational declared queries Q01–Q31 (SURVEY.md §2.2 B1–B31).
+
+Each function is the Spark-first (DataFrame API) implementation; the paired
+``oracle`` string is ANSI SQL for DuckDB. Column names/aliases match exactly.
+
+Scale notes are inline: broadcast hints on dimension tables, single-shuffle
+aggregations, window partitioning keys — every plan here survives a 100x
+scale-up because the shuffle keys are the natural high-cardinality keys and
+the only broadcasts are O(nations/regions) dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.asof import asof_join
+from . import register
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------------
+# B1/B2 — scan + projection
+# --------------------------------------------------------------------------
+@register(
+    "q01_scan_project",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    doc="parquet scan + projection (column pruning reaches the reader)",
+    tags=("B1", "B2"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+# --------------------------------------------------------------------------
+# B3 — filter / predicates (pushed down to parquet)
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10
+      AND l_returnflag = 'R'
+      AND l_shipdate >= DATE '1995-01-01'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="conjunctive predicates; all three reach PushedFilters in the scan",
+    tags=("B3",),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(5, 10)
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — inner equi-join chain with broadcast dims
+# --------------------------------------------------------------------------
+@register(
+    "q03_join_chain",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    ORDER BY c_custkey
+    """,
+    doc="customer ⋈ nation ⋈ region; nation/region broadcast (25 / 5 rows at any SF)",
+    tags=("B4",),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = F.broadcast(load(spark, sf, "nation"))
+    r = F.broadcast(load(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — outer joins
+# --------------------------------------------------------------------------
+@register(
+    "q04_left_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+    ORDER BY o_orderkey, c_name NULLS FIRST
+    """,
+    doc="left outer join with a join-side residual predicate",
+    tags=("B5",),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (c.c_acctbal > 5000), "left")
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy(F.col("o_orderkey"), F.col("c_name").asc_nulls_first())
+    )
+
+
+@register(
+    "q07_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust AS n_cust, s.n_supp AS n_supp
+    FROM c FULL JOIN s ON c.nk = s.nk
+    ORDER BY nationkey, n_cust NULLS FIRST, n_supp NULLS FIRST
+    """,
+    doc="full outer join of per-nation customer vs supplier counts",
+    tags=("B5",),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full")
+        .select(F.col("nk").alias("nationkey"), "n_cust", "n_supp")
+        .orderBy(
+            F.col("nationkey"),
+            F.col("n_cust").asc_nulls_first(),
+            F.col("n_supp").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B6/B7 — semi / anti joins
+# --------------------------------------------------------------------------
+@register(
+    "q05_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left semi join (EXISTS): customers having >=1 order",
+    tags=("B6",),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left anti join (NOT EXISTS): customers with no orders",
+    tags=("B7",),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — cross join
+# --------------------------------------------------------------------------
+@register(
+    "q08_cross_join",
+    oracle="SELECT COUNT(*) AS cnt FROM region CROSS JOIN nation",
+    doc="cartesian product cardinality",
+    tags=("B8",),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# B9 — theta (non-equi) join
+# --------------------------------------------------------------------------
+@register(
+    "q09_theta_join",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS cnt
+    FROM part p JOIN supplier s
+      ON p.p_size = s.s_suppkey % 50 AND p.p_retailprice > s.s_acctbal
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="equi component + theta residual; supplier side broadcast (small dim)",
+    tags=("B9",),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    s = F.broadcast(load(spark, sf, "supplier"))
+    return (
+        p.join(s, (p.p_size == s.s_suppkey % 50) & (p.p_retailprice > s.s_acctbal))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — as-of join (custom operator; DuckDB ASOF JOIN is the oracle)
+# --------------------------------------------------------------------------
+@register(
+    "q31_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, MIN(ts) AS click_ts
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    views AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, epoch_us(c.click_ts) AS click_us, v.value AS last_view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.click_ts >= v.ts
+    ORDER BY c.user_id, click_us, last_view_value NULLS FIRST
+    """,
+    doc="as-of join: each user's first click matched to latest prior view "
+    "(union+window formulation — see operators/asof.py for the 100TB argument)",
+    tags=("B10",),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    # dedup same-timestamp views deterministically (max value wins)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(clicks, views, on=["user_id"], left_ts="click_ts", right_ts="ts")
+    return joined.select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.col("value").alias("last_view_value"),
+    ).orderBy("user_id", "click_us", F.col("last_view_value").asc_nulls_first())
+
+
+# --------------------------------------------------------------------------
+# B11 — hash aggregate (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q10_agg_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_revenue,
+           CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="partial->final hash agg; decimal arithmetic keeps the oracle exact",
+    tags=("B11",),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast(DEC4)  # scale 4 is the exact product scale — lossless cast,
+            # so no engine-specific half-rounding can diverge
+            .alias("sum_revenue"),
+            F.min("l_shipdate").cast("date").alias("min_ship"),
+            F.max("l_shipdate").cast("date").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — distinct aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q11_count_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="distinct aggregate (expand->two-phase agg under the hood)",
+    tags=("B12",),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — ROLLUP / CUBE / GROUPING SETS
+# --------------------------------------------------------------------------
+@register(
+    "q12_rollup",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt
+    """,
+    doc="rollup over (nation, segment)",
+    tags=("B13",),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = F.broadcast(load(spark, sf, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("cnt"),
+        )
+    )
+
+
+@register(
+    "q13_cube_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="cube + GROUPING() marker columns",
+    tags=("B13",),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count("*").alias("cnt"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "cnt")
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q14_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt
+    """,
+    doc="explicit grouping sets (SQL path — declarative parity with oracle)",
+    tags=("B13",),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("q14_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM q14_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, cnt
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — HAVING
+# --------------------------------------------------------------------------
+@register(
+    "q28_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS cnt
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 60
+    ORDER BY c_nationkey
+    """,
+    doc="post-aggregation filter",
+    tags=("B14",),
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 60)
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — ranking windows
+# --------------------------------------------------------------------------
+@register(
+    "q15_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn, price
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn, o_orderkey
+    """,
+    doc="row_number window, top-3 orders per customer (partitioned by the "
+    "high-cardinality customer key — no single-reducer sort at scale)",
+    tags=("B15",),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — analytic windows + frames
+# --------------------------------------------------------------------------
+@register(
+    "q16_analytic_window",
+    oracle=f"""
+    SELECT user_id, event_id,
+           LAG(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS mov_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="lag + 3-row moving sum with explicit frame; deterministic tiebreak on event_id",
+    tags=("B16",),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.sum(F.col("value").cast(DEC4)).over(wf).cast(DEC4).alias("mov_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B17/B18 — sort + top-k
+# --------------------------------------------------------------------------
+@register(
+    "q17_topk",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="global top-k (Spark plans TakeOrderedAndProject: per-partition heaps, no full sort)",
+    tags=("B17", "B18"),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B19/B20/B21 — set operations / distinct
+# --------------------------------------------------------------------------
+@register(
+    "q18_union",
+    oracle="""
+    SELECT c_name AS name FROM customer
+    UNION
+    SELECT s_name AS name FROM supplier
+    ORDER BY name
+    """,
+    doc="UNION (distinct) of customer and supplier names",
+    tags=("B19",),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_name").alias("name"))
+    s = load(spark, sf, "supplier").select(F.col("s_name").alias("name"))
+    return c.union(s).distinct().orderBy("name")
+
+
+@register(
+    "q19_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="INTERSECT (distinct)",
+    tags=("B20",),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "q20_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="EXCEPT (distinct)",
+    tags=("B20",),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "q27_distinct",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    doc="DISTINCT / dropDuplicates",
+    tags=("B21",),
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "events").select("event_type").distinct().orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# B22 — string functions
+# --------------------------------------------------------------------------
+@register(
+    "q21_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_pfx,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_us,
+           SPLIT_PART(p_type, ' ', 1) AS first_word
+    FROM part
+    WHERE p_name LIKE '%a%'
+    ORDER BY p_partkey
+    """,
+    doc="string function pack (upper/lower/length/substr/concat/replace/split/like)",
+    tags=("B22",),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower("p_type").alias("type_l"),
+            F.length("p_name").cast("int").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_pfx"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+            F.element_at(F.split("p_type", " "), 1).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B23 — date/time functions
+# --------------------------------------------------------------------------
+@register(
+    "q22_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           COUNT(*) AS cnt,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_day,
+           CAST(MIN(CAST(o_orderdate AS DATE)) + INTERVAL 7 DAY AS DATE) AS first_day_plus7
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr, mo
+    """,
+    doc="extract/truncate/date arithmetic over order dates",
+    tags=("B23",),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_day"),
+            F.date_add(F.min(F.col("o_orderdate").cast("date")), 7).alias("first_day_plus7"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — math functions
+# --------------------------------------------------------------------------
+@register(
+    "q23_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(CEIL(CAST(p_retailprice AS DECIMAL(18,2))) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(CAST(p_retailprice AS DECIMAL(18,2))) AS BIGINT) AS floor_price,
+           CAST(ABS(p_size - 25) AS INT) AS abs_off,
+           CAST(p_partkey % 7 AS BIGINT) AS pk_mod,
+           SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           CAST(p_size AS BIGINT) * p_size AS size_sq
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="abs/ceil/floor/mod/sqrt/square; sqrt is IEEE-exact so doubles hash-match",
+    tags=("B24",),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.ceil(F.col("p_retailprice").cast(DEC)).cast("bigint").alias("ceil_price"),
+        F.floor(F.col("p_retailprice").cast(DEC)).cast("bigint").alias("floor_price"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("abs_off"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("pk_mod"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_size").cast("bigint") * F.col("p_size")).alias("size_sq"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# B25 — conditional / null functions
+# --------------------------------------------------------------------------
+@register(
+    "q24_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE NULL END AS pos_bal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="CASE/COALESCE/NULLIF/IF",
+    tags=("B25",),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast(DEC)).alias("pos_bal"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# B26 — array functions
+# --------------------------------------------------------------------------
+@register(
+    "q25_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(i AS INT) AS pos,
+           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(10,4)) AS val,
+           CAST(len(embedding) AS INT) AS n_dims
+    FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i)
+    ORDER BY vec_id, pos
+    """,
+    doc="slice + posexplode of embedding vectors, 4dp decimal projection",
+    tags=("B26",),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("n_dims"),
+            F.posexplode(F.slice("embedding", 1, 8)).alias("pos0", "elem"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("elem").cast("double").cast("decimal(10,4)").alias("val"),
+            "n_dims",
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# B27 — map/JSON functions
+# --------------------------------------------------------------------------
+@register(
+    "q26_json_funcs",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
+    FROM events
+    GROUP BY k_val
+    ORDER BY k_val NULLS FIRST, cnt
+    """,
+    doc="JSON path extraction over the events.props payload column",
+    tags=("B27",),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .select(F.get_json_object("props", "$.k").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("k_val").asc_nulls_first(), F.col("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B28 — subqueries
+# --------------------------------------------------------------------------
+@register(
+    "q29_subquery",
+    oracle="""
+    SELECT o_orderkey
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT AVG(o_totalprice) FROM orders o2
+        WHERE o2.o_orderpriority = o.o_orderpriority
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="correlated scalar subquery; Spark plan = broadcast the tiny per-priority "
+    "avg table (decorrelated aggregate) — identical semantics",
+    tags=("B28",),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    avgs = F.broadcast(
+        o.groupBy("o_orderpriority").agg(F.avg("o_totalprice").alias("prio_avg"))
+    )
+    return (
+        o.join(avgs, "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("prio_avg"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — CTE / WITH
+# --------------------------------------------------------------------------
+@register(
+    "q30_cte",
+    oracle="""
+    WITH cust_geo AS (
+        SELECT c_custkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
+           CAST(SUM(COALESCE(sum_price, 0)) AS DECIMAL(18,2)) AS total_price
+    FROM cust_geo LEFT JOIN cust_orders ON c_custkey = o_custkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="CTE chain: geo dimension ⋈ per-customer order rollup → per-nation totals",
+    tags=("B29",),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = F.broadcast(load(spark, sf, "nation"))
+    cust_geo = c.join(n, c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    cust_orders = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"))
+    )
+    return (
+        cust_geo.join(cust_orders, cust_geo.c_custkey == cust_orders.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("bigint").alias("total_orders"),
+            F.sum(F.coalesce(F.col("sum_price"), F.lit(0))).cast(DEC).alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# B30/B31 — approx count-distinct + sampling (no hash oracle by design)
+# --------------------------------------------------------------------------
+@register(
+    "q32_approx_count_distinct",
+    oracle=None,  # sketch-dependent; tested by tolerance vs exact in tests/
+    doc="HLL++ approx distinct count of lineitem part keys (rows-only driver check; "
+    "±5%-of-exact asserted in tests/test_operators.py)",
+    tags=("B30",),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    )
+
+
+@register(
+    "q33_sample",
+    oracle=None,  # sampling is implementation-defined; bounds asserted in tests/
+    doc="seeded Bernoulli sample of orders (rows-only driver check)",
+    tags=("B31",),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,239 @@
+"""LLM-data-pipeline declared queries Q40+ (SURVEY.md §2.4 E1–E7).
+
+Deterministic tiers carry DuckDB oracles (Q40–Q44); approximate tiers
+(MinHash-LSH, SimHash, ANN) are registered rows-only and get recall tests in
+``tests/test_operators.py`` instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load
+from ..operators import dedup, multimodal, similarity, text
+from . import register
+
+PINNED_VEC_IDS = [1, 2, 3, 4, 5]
+
+
+# --------------------------------------------------------------------------
+# E1 — exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT lang, COUNT(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="distinct doc count per lang after normalized-text hash dedup (E1)",
+    tags=("E1",),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select("lang", dedup.text_hash(F.col("text")).alias("h"))
+        .groupBy("lang")
+        .agg(F.countDistinct("h").alias("n_unique"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 — exact top-k cosine similarity
+# --------------------------------------------------------------------------
+@register(
+    "q41_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN ({",".join(map(str, PINNED_VEC_IDS))})
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos_raw
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, nbr_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, nbr_id, CAST(cos_raw AS DECIMAL(10,4)) AS cos_r, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="exact brute-force top-3 cosine neighbors for 5 pinned vectors (E3); "
+    "ranking on ROUND(cos,4) + id tiebreak keeps Spark/DuckDB float-order independent",
+    tags=("E3",),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return similarity.cosine_topk(e, PINNED_VEC_IDS, k=3).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# E5 — text analysis
+# --------------------------------------------------------------------------
+@register(
+    "q42_top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents WHERE lang = 'en'
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    doc="top-20 whitespace tokens in English docs (E5)",
+    tags=("E5",),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q44_quality_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS q_chars,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS q_tokens,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS q_punct
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="per-doc quality counters: chars / whitespace tokens / punctuation (E5)",
+    tags=("E5",),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("q_chars"),
+        text.token_count(t).cast("bigint").alias("q_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint").alias("q_punct"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# E7 — Pandas UDF surface
+# --------------------------------------------------------------------------
+@register(
+    "q43_pandas_udf_hist",
+    oracle="""
+    SELECT CAST(LENGTH(text) // 100 AS INT) AS bucket, COUNT(*) AS cnt
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Arrow-batched scalar pandas_udf length-bucket histogram (E7)",
+    tags=("E7",),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    @pandas_udf("int")
+    def length_bucket(s: pd.Series) -> pd.Series:
+        return (s.str.len() // 100).astype("int32")
+
+    d = load(spark, sf, "documents")
+    return (
+        d.select(length_bucket(F.col("text")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# E5 — deterministic fingerprint + language heuristic (oracle-free but exact)
+# --------------------------------------------------------------------------
+@register(
+    "q45_lang_id",
+    oracle=None,  # heuristic not SQL-expressible concisely; determinism tested in pytest
+    doc="marker-word language-ID vote vs the labeled lang column (E5)",
+    tags=("E5",),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select("lang", text.lang_id_heuristic(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "pred")
+    )
+
+
+@register(
+    "q46_fingerprint",
+    oracle=None,  # xxhash64-specific; stability tested in pytest
+    doc="winnowing-style rolling-hash document fingerprint (E5)",
+    tags=("E5",),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.doc_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# E2/E4 — approximate dedup & ANN tiers (rows-only driver check)
+# --------------------------------------------------------------------------
+@register(
+    "q47_minhash_lsh_pairs",
+    oracle=None,  # approximate; planted-duplicate recall asserted in pytest
+    doc="MinHash-LSH candidate near-duplicate doc pairs (E2)",
+    tags=("E2",),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d).orderBy("id_a", "id_b")
+
+
+@register(
+    "q48_simhash_pairs",
+    oracle=None,
+    doc="SimHash-bucket near-duplicate doc pairs (E2)",
+    tags=("E2",),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.simhash_pairs(d).orderBy("id_a", "id_b")
+
+
+@register(
+    "q49_ann_lsh",
+    oracle=None,  # approximate; recall@k vs exact q41 asserted in pytest
+    doc="random-hyperplane LSH approximate nearest neighbors (E4)",
+    tags=("E4",),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return similarity.lsh_ann_topk(e, PINNED_VEC_IDS, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "q50_multimodal_features",
+    oracle=None,  # synthetic asset table; plumbing asserted in pytest
+    doc="mapInPandas feature extraction over binary multimodal assets (E6)",
+    tags=("E6",),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    assets = multimodal.synthetic_assets(spark)
+    feats = multimodal.extract_features(assets)
+    return feats.select("asset_id", "modality", "n_bytes").orderBy("asset_id")
