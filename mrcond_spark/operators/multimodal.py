@@ -143,4 +143,6 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
                 (64, 48, 5000 if modality == "video" else None),
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    # coalesce: 64 in-memory rows otherwise scatter across defaultParallelism
+    # partitions, each spinning up its own Python worker in mapInPandas
+    return spark.createDataFrame(rows, ASSET_SCHEMA).coalesce(4)

@@ -82,10 +82,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_fingerprint(col: Column, window: int = 4) -> Column:
     """Winnowing-style fingerprint: min over rolling shingle hashes — a single
-    BIGINT content fingerprint robust to small edits at the margins."""
-    toks = tokens(col)
+    BIGINT content fingerprint robust to small edits at the margins.
+
+    NOTE: pass a *pre-tokenized array column* through
+    ``doc_fingerprint_from_tokens`` in hot paths — referencing the tokenize
+    expression inside the per-shingle lambda re-evaluates it per element
+    (Catalyst doesn't CSE across higher-order-function lambdas), turning the
+    fingerprint O(len^2).
+    """
+    return doc_fingerprint_from_tokens(tokens(col), window)
+
+
+def doc_fingerprint_from_tokens(tok_col: Column, window: int = 4) -> Column:
     shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        F.sequence(F.lit(0), F.greatest(F.size(tok_col) - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok_col, i + 1, window))),
     )
     return F.array_min(shingle_hashes)

@@ -188,7 +188,13 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q46(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    return d.select("doc_id", text.doc_fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+    # tokenize once into a real column: the fingerprint lambda references it
+    # multiple times, and CollapseProject keeps multiply-referenced non-cheap
+    # aliases materialized (avoids O(len^2) re-tokenization per shingle)
+    toked = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id", text.doc_fingerprint_from_tokens(F.col("toks")).alias("fp")
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
