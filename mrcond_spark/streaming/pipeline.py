@@ -1,0 +1,83 @@
+"""Per-collection CDC pipeline (SURVEY §2.1 R1–R7 → §2.3 S1–S4).
+
+One checkpointed streaming query per watched collection:
+
+    source (change stream / file replay)
+      -> foreachBatch: sort by resume token, to_json(struct(*)), publish
+      -> checkpoint commit (R2/R6: replaces the resume-token store)
+
+Terminal handling (R7): a ``drop``/``invalidate`` event in a batch is
+published (the reference forwards every event the cursor yields,
+`connector.rs:145-167`) and then flags the query terminal; the supervisor
+stops it cleanly and does NOT restart (`connector.rs:169-171`,
+`server.rs:205-207`).
+
+Sink failures raise out of foreachBatch tagged ``SINK_ERROR`` so the
+supervisor can classify them (mirror of `server.rs:215-230`).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .envelope import TERMINAL_OPERATIONS
+from .sink import Publish, make_foreach_batch
+
+
+@dataclass
+class CdcQuery:
+    """Handle pairing a StreamingQuery with its terminal-event flag."""
+
+    stream_name: str
+    query: StreamingQuery
+    terminal: threading.Event = field(default_factory=threading.Event)
+
+    @property
+    def is_active(self) -> bool:
+        return self.query.isActive
+
+
+def start_cdc_query(
+    source_df: DataFrame,
+    publisher: Publish,
+    stream_name: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> CdcQuery:
+    """Start the publish pipeline for one collection's change stream.
+
+    ``available_now=True`` drains everything currently available then stops —
+    the replay-test mode; production runs continuous micro-batches.
+    """
+    publish = make_foreach_batch(publisher, stream_name)
+    terminal = threading.Event()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            try:
+                publish(batch_df, epoch_id)
+            except Exception as e:
+                # tag sink-origin failures for supervisor classification
+                raise RuntimeError(f"SINK_ERROR[{stream_name}]: {e}") from e
+            if (
+                batch_df.filter(F.col("operationType").isin(*TERMINAL_OPERATIONS)).limit(1).count()
+                > 0
+            ):
+                terminal.set()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        source_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(stream_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return CdcQuery(stream_name=stream_name, query=query, terminal=terminal)

@@ -1,0 +1,139 @@
+"""Event-time streaming operators (SURVEY §2.3 S5–S12).
+
+North-star additions beyond the reference's pipeline (which has no event-time
+logic): watermarks, tumbling/sliding/session windows, stateful dedup, stream
+joins, and arbitrary state via ``applyInPandasWithState``.
+
+All operators take/return streaming DataFrames and are replay-tested with a
+deterministic file source (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def tumbling_counts(
+    events: DataFrame, ts_col: str = "ts", duration: str = "5 minutes",
+    watermark: str = "10 minutes", keys: Iterable[str] = ("event_type",),
+) -> DataFrame:
+    """S5+S6: watermarked tumbling-window counts + value sum."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+            *keys, "cnt", "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, ts_col: str = "ts", duration: str = "10 minutes",
+    slide: str = "5 minutes", watermark: str = "10 minutes",
+) -> DataFrame:
+    """S6: sliding-window event counts."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame, ts_col: str = "ts", gap: str = "5 minutes",
+    watermark: str = "10 minutes", key: str = "user_id",
+) -> DataFrame:
+    """S7: session windows (gap-based) per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), key)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), key, "cnt"
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """S8: stateful dedup bounded by the watermark (state stays finite)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """S9: streaming fact ⋈ static dimension (dimension broadcast per batch)."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, key: str,
+    left_ts: str = "ts", right_ts: str = "ts",
+    watermark: str = "10 minutes", max_gap: str = "15 minutes",
+) -> DataFrame:
+    """S10: watermarked stream-stream inner join with a bounded time range
+    (both state stores evict past watermark + gap)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} BETWEEN l.{left_ts} "
+            f"AND l.{left_ts} + INTERVAL {max_gap}"
+        ),
+    )
+
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_INTERNAL = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """S11: arbitrary stateful op via applyInPandasWithState — running
+    per-user event count and value total, emitted each batch the user appears.
+
+    Self-contained closure (executor-safe without the package installed).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType=_STATE_INTERNAL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,325 @@
+"""Streaming CDC pipeline tests, replicating the reference's e2e contracts:
+
+- ordered fullDocument equality sent == received (mrcond/tests/e2e.rs:401-413)
+- resume-after-restart at-least-once (mrcon/src/mongo/connector.rs:150-163)
+- collection drop -> clean stop, no restart (connector.rs:169-171,
+  server.rs:205-207)
+- sink failure -> classified restart + redelivery (server.rs:215-248)
+- the five engine_* metric series + /health /metrics HTTP (metrics.rs, main.rs)
+- event-time operators (S5-S12) via deterministic file replay
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mrcond_spark.streaming import windows
+from mrcond_spark.streaming.metrics import Metrics
+from mrcond_spark.streaming.sink import MemoryPublisher
+from mrcond_spark.streaming.source import file_replay_stream
+from mrcond_spark.streaming.supervisor import ConnectorServer, StreamSpec, classify_error
+
+DOCS = [
+    {"name": "Alice", "age": 30},
+    {"name": "Bob", "age": 25},
+    {"name": "Charlie", "age": 35},
+]
+
+
+def write_envelope_file(dirpath: str, fname: str, events: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{fname}.tmp")
+    with open(tmp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.rename(tmp, os.path.join(dirpath, fname))
+
+
+def insert_event(i: int, doc: dict) -> dict:
+    return {
+        "_id": f"{i:08d}",
+        "operationType": "insert",
+        "clusterTime": f"2024-01-01T00:00:{i % 60:02d}.000Z",
+        "ns": {"db": "test", "coll": "testcoll"},
+        "documentKey": json.dumps({"_id": i}),
+        "fullDocument": json.dumps(doc),
+    }
+
+
+def drop_event(i: int) -> dict:
+    return {
+        "_id": f"{i:08d}",
+        "operationType": "drop",
+        "clusterTime": "2024-01-01T00:01:00.000Z",
+        "ns": {"db": "test", "coll": "testcoll"},
+        "documentKey": None,
+        "fullDocument": None,
+    }
+
+
+def make_server(spark, tmp_path, name: str, available_now=True, publisher=None) -> tuple:
+    events_dir = str(tmp_path / f"{name}-events")
+    ckpt = str(tmp_path / f"{name}-ckpt")
+    os.makedirs(events_dir, exist_ok=True)
+    pub = publisher or MemoryPublisher.named(name)
+    spec = StreamSpec(
+        stream_name=name,
+        source_factory=lambda: file_replay_stream(spark, events_dir),
+        publisher=pub,
+        checkpoint_dir=ckpt,
+        available_now=available_now,
+    )
+    return events_dir, ckpt, pub, spec
+
+
+def received_docs(pub: MemoryPublisher, stream: str) -> list[dict]:
+    out = []
+    for payload in pub.messages[stream]:
+        env = json.loads(payload)
+        if env.get("fullDocument"):
+            out.append(json.loads(env["fullDocument"]))
+    return out
+
+
+def test_ordered_fulldocument_equality(spark, tmp_path):
+    """Golden contract: ordered sent == received (e2e.rs:401-413)."""
+    name = f"q-{uuid.uuid4().hex[:8]}"
+    events_dir, _, pub, spec = make_server(spark, tmp_path, name)
+    write_envelope_file(events_dir, "b0.json", [insert_event(i, d) for i, d in enumerate(DOCS)])
+
+    server = ConnectorServer([spec])
+    server.start()
+    server.await_all(poll_interval_s=0.2, timeout_s=120)
+
+    assert received_docs(pub, name) == DOCS  # values AND order
+    assert name in pub.declared  # queue declared idempotently (amqp.rs:40-46)
+
+
+def test_resume_after_restart_at_least_once(spark, tmp_path):
+    """Kill between batches; a new query on the same checkpoint must deliver
+    the remaining events exactly after the committed prefix (R2/R6)."""
+    name = f"q-{uuid.uuid4().hex[:8]}"
+    events_dir, ckpt, pub, spec = make_server(spark, tmp_path, name)
+
+    write_envelope_file(events_dir, "b0.json", [insert_event(0, DOCS[0])])
+    s1 = ConnectorServer([spec])
+    s1.start()
+    s1.await_all(poll_interval_s=0.2, timeout_s=120)
+    assert received_docs(pub, name) == DOCS[:1]
+
+    # "restart the process": new server, same checkpoint, more input
+    write_envelope_file(events_dir, "b1.json", [insert_event(i, d) for i, d in enumerate(DOCS[1:], start=1)])
+    s2 = ConnectorServer([spec])
+    s2.start()
+    s2.await_all(poll_interval_s=0.2, timeout_s=120)
+
+    got = received_docs(pub, name)
+    # at-least-once: the committed prefix is not re-sent (checkpoint), and
+    # order within the stream is preserved
+    assert got == DOCS
+
+
+def test_drop_means_clean_stop_no_restart(spark, tmp_path):
+    """Terminal drop event: publish it, stop clean, clear state, never
+    restart (connector.rs:169-171, server.rs:205-207)."""
+    name = f"q-{uuid.uuid4().hex[:8]}"
+    events_dir, ckpt, pub, spec = make_server(spark, tmp_path, name)
+    write_envelope_file(
+        events_dir, "b0.json", [insert_event(0, DOCS[0]), drop_event(1)]
+    )
+
+    metrics = Metrics()
+    server = ConnectorServer([spec], metrics=metrics)
+    server.start()
+    server.await_all(poll_interval_s=0.2, timeout_s=120)
+
+    assert name in server.stopped_clean
+    assert not os.path.exists(ckpt)  # R7 clean(): resume state removed
+    assert metrics.restarts == {}  # "not restarting"
+    # the drop event itself was forwarded (reference forwards all events)
+    ops = [json.loads(p)["operationType"] for p in pub.messages[name]]
+    assert ops == ["insert", "drop"]
+
+
+def test_sink_failure_classified_and_redelivered(spark, tmp_path):
+    """Sink error fails the batch; supervisor classifies 'sink', restarts from
+    checkpoint, batch is redelivered (at-least-once, server.rs:215-248)."""
+    name = f"q-{uuid.uuid4().hex[:8]}"
+    events_dir, _, pub, spec = make_server(spark, tmp_path, name)
+    pub.fail_next = 1
+    write_envelope_file(events_dir, "b0.json", [insert_event(i, d) for i, d in enumerate(DOCS)])
+
+    metrics = Metrics()
+    server = ConnectorServer([spec], metrics=metrics)
+    server.start()
+    server.await_all(poll_interval_s=0.2, timeout_s=180)
+
+    assert received_docs(pub, name) == DOCS  # redelivered after restart
+    assert metrics.restarts.get((name, "sink")) == 1
+    assert metrics.failures.get((name, "sink")) == 1
+
+
+def test_classify_error_table():
+    assert classify_error("SINK_ERROR[q]: injected") == "sink"
+    assert classify_error("MongoServerError: not primary") == "source"
+    assert classify_error("java.lang.IllegalStateException: boom") == "other"
+
+
+def test_metrics_export_and_http():
+    m = Metrics()
+    m.record_server_started("c1")
+    m.record_restart("c1", "sink")
+    m.record_failure("c1", "sink")
+    text = m.export()
+    for series in (
+        "engine_servers_started_total",
+        "engine_running_servers_total",
+        'engine_collection_running_servers{collection="c1"} 1',
+        'engine_server_restarts_total{collection="c1",reason="sink"} 1',
+        'engine_failures_total{collection="c1",error_type="sink"} 1',
+    ):
+        assert series in text
+
+    from mrcond_spark.streaming.http import start_http
+
+    srv = start_http(m, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    try:
+        assert urllib.request.urlopen(f"http://127.0.0.1:{port}/health").read() == b"OK"
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+        assert "engine_running_servers_total 1" in body
+    finally:
+        srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (S5-S12) over deterministic replay
+# ---------------------------------------------------------------------------
+EVENT_ROWS = [
+    # (ts, user_id, event_type, value)
+    ("2024-01-01T00:00:10.000Z", 1, "view", 1.0),
+    ("2024-01-01T00:01:10.000Z", 1, "click", 2.0),
+    ("2024-01-01T00:02:10.000Z", 2, "view", 3.0),
+    ("2024-01-01T00:07:10.000Z", 1, "view", 4.0),
+    ("2024-01-01T00:07:20.000Z", 2, "click", 5.0),
+    ("2024-01-01T00:20:10.000Z", 1, "view", 6.0),
+    ("2024-01-01T00:01:10.000Z", 1, "click", 2.0),  # exact duplicate (late)
+]
+
+
+@pytest.fixture()
+def event_stream_dir(tmp_path):
+    d = str(tmp_path / "events-json")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part0.json"), "w") as f:
+        for i, (ts, uid, et, v) in enumerate(EVENT_ROWS):
+            f.write(
+                json.dumps(
+                    {"event_id": i, "ts": ts, "user_id": uid, "event_type": et, "value": v}
+                )
+                + "\n"
+            )
+    return d
+
+
+def replay_events(spark, d):
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    return spark.readStream.schema(schema).json(d)
+
+
+def run_to_memory(spark, df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tumbling_window_counts(spark, event_stream_dir):
+    df = windows.tumbling_counts(replay_events(spark, event_stream_dir), duration="5 minutes")
+    run_to_memory(spark, df, "tumb", "complete")
+    rows = {
+        (r["win_start"].minute, r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    # window [00:00,00:05): views 2 (1.0+3.0), clicks 2 (2.0+2.0 dup counted)
+    assert rows[(0, "view")] == (2, 4.0)
+    assert rows[(0, "click")] == (2, 4.0)
+    assert rows[(5, "view")] == (1, 4.0)
+    assert rows[(20, "view")] == (1, 6.0)
+
+
+def test_session_windows(spark, event_stream_dir):
+    df = windows.session_counts(replay_events(spark, event_stream_dir), gap="5 minutes")
+    run_to_memory(spark, df, "sess", "complete")
+    per_user = {}
+    for r in spark.sql("SELECT * FROM sess").collect():
+        per_user.setdefault(r["user_id"], []).append(r["cnt"])
+    # user 1: {00:00:10, 00:01:10, dup} one session (gaps < 5 min); 00:07:10
+    # is 6 min after the last -> new session; 00:20:10 isolated
+    assert sorted(per_user[1]) == [1, 1, 3]
+    assert sorted(per_user[2]) == [1, 1]  # 00:02:10 -> 00:07:20 gap is 5m10s
+
+
+def test_dedup_within_watermark(spark, event_stream_dir):
+    df = windows.dedup_within_watermark(
+        replay_events(spark, event_stream_dir), keys=["user_id", "ts", "event_type"]
+    )
+    run_to_memory(spark, df, "dedup", "append")
+    assert spark.sql("SELECT count(*) AS c FROM dedup").collect()[0]["c"] == len(EVENT_ROWS) - 1
+
+
+def test_stream_static_join(spark, sf_dir, event_stream_dir):
+    from mrcond_spark.catalog import load
+
+    dims = (
+        load(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("dim_tag", F.upper("event_type"))
+    )
+    df = windows.stream_static_join(replay_events(spark, event_stream_dir), dims, ["event_type"])
+    run_to_memory(spark, df, "ssj", "append")
+    rows = spark.sql("SELECT DISTINCT event_type, dim_tag FROM ssj").collect()
+    assert {(r["event_type"], r["dim_tag"]) for r in rows} == {
+        ("view", "VIEW"),
+        ("click", "CLICK"),
+    }
+
+
+def test_stream_stream_join(spark, event_stream_dir):
+    views = replay_events(spark, event_stream_dir).filter(F.col("event_type") == "view")
+    clicks = replay_events(spark, event_stream_dir).filter(F.col("event_type") == "click")
+    joined = windows.stream_stream_join(
+        views.select("user_id", "ts", F.col("value").alias("view_value")),
+        clicks.select("user_id", "ts", F.col("value").alias("click_value")),
+        key="user_id",
+    )
+    run_to_memory(spark, joined, "stst", "append")
+    rows = spark.sql("SELECT * FROM stst").collect()
+    # user1 view@00:00:10 joins click@00:01:10 (x2 duplicates); user2
+    # view@00:02:10 joins click@00:07:20
+    assert len(rows) == 3
+
+
+def test_running_user_totals_stateful(spark, event_stream_dir):
+    df = windows.running_user_totals(replay_events(spark, event_stream_dir))
+    run_to_memory(spark, df, "state", "update")
+    last = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM state"
+        ).collect()
+    }
+    assert last[1] == (5, 15.0)  # 1+2+4+6+2(dup)
+    assert last[2] == (2, 8.0)
