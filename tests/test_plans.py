@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the 100 TB posture, checked per query.
+
+These tests fail if a future change silently drops predicate pushdown, column
+pruning, or dimension broadcasts — the three properties that decide whether
+the same plan survives a 1000-executor / 100 TB scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrcond_spark import plans
+from mrcond_spark.catalog import load
+from mrcond_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q02_filter"].spark(spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_returnflag" in pushed, f"returnflag filter not pushed: {pushed}"
+    assert "l_quantity" in pushed
+    assert "l_shipdate" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = QUERIES["q02_filter"].spark(spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    # scan must not read the other 8 lineitem columns
+    for cols in schemas:
+        assert cols <= {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"}
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = QUERIES["q03_join_chain"].spark(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 2  # nation AND region
+    assert not plans.uses_sort_merge_join(df)
+
+
+def test_q10_single_shuffle_aggregate(spark, sf_dir):
+    """TPC-H Q1 shape: partial agg -> ONE hash exchange -> final agg (+ sort)."""
+    df = QUERIES["q10_agg_tpch_q1"].spark(spark, sf_dir)
+    # one exchange for the groupBy, one range exchange for the final orderBy
+    assert plans.shuffle_exchange_count(df) <= 2
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union+window as-of join must not blow up into a join-explode plan:
+    at most the union inputs' aggregation exchanges + one window partition
+    exchange — and NO nested-loop or cartesian operator."""
+    df = QUERIES["q31_asof_join"].spark(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_whole_stage_codegen_covers_scalar_packs(spark, sf_dir):
+    """AQE defers codegen insertion to execution; disable it here so the
+    static plan exposes the WholeStageCodegen subtrees for assertion."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q21_string_funcs", "q23_math_funcs", "q24_conditional"):
+            df = QUERIES[name].spark(spark, sf_dir)
+            assert plans.codegen_stage_count(df) >= 1, f"{name} fell out of codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_anti_join_no_row_amplification(spark, sf_dir):
+    for name in ("q05_semi_join", "q06_anti_join"):
+        text = plans.explain_str(QUERIES[name].spark(spark, sf_dir))
+        assert "LeftSemi" in text or "LeftAnti" in text, f"{name}: {text[:200]}"
+
+
+def test_partition_count_respects_aqe_coalesce(spark, sf_dir):
+    """AQE should coalesce the tiny post-shuffle partitions at test scale."""
+    df = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("c"))
+    assert df.rdd.getNumPartitions() <= 8
