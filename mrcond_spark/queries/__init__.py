@@ -48,6 +48,6 @@ def register(
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import batch, llm  # noqa: F401
+    from . import batch, llm, udf_surface  # noqa: F401
 
     return dict(REGISTRY)

@@ -20,6 +20,13 @@ def spark():
     yield s
 
 
+#: non-function-scoped alias for hypothesis @given tests (function-scoped
+#: fixtures are re-created per example; the session is shared intentionally)
+@pytest.fixture(scope="session")
+def spark_global():
+    return get_spark("mrcond-tests", cpus=8, shuffle_partitions=8)
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
