@@ -99,6 +99,17 @@ def stream_stream_join(
     )
 
 
+def with_late_data_metrics(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """S12: attach an ``observe`` metric stream counting rows per batch and
+    the max event time seen — the driver-side signal for late-data monitoring
+    (read via QueryProgressEvent.observedMetrics['late_data'])."""
+    return events.observe(
+        "late_data",
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.col(ts_col)).alias("max_event_time"),
+    )
+
+
 USER_STATE_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
