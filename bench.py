@@ -28,6 +28,60 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP: set[str] = set()
 
 
+def bench_streaming(spark, n_events: int = 20000) -> float:
+    """CDC pipeline throughput: replay n_events through the full
+    file-source -> foreachBatch -> ordered queue-publish path; returns
+    events/sec. (The reference's path is one publish + confirm + token write
+    per event; ours amortizes per micro-batch.)"""
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrcond_spark.streaming.sink import MemoryPublisher
+    from mrcond_spark.streaming.source import file_replay_stream
+    from mrcond_spark.streaming.pipeline import start_cdc_query
+
+    tmp = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        per_file = n_events // 4
+        for b in range(4):
+            with open(os.path.join(events_dir, f"b{b}.json"), "w") as f:
+                for i in range(b * per_file, (b + 1) * per_file):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "_id": f"{i:012d}",
+                                "operationType": "insert",
+                                "clusterTime": "2024-01-01T00:00:00.000Z",
+                                "ns": {"db": "bench", "coll": "c"},
+                                "documentKey": _json.dumps({"_id": i}),
+                                "fullDocument": _json.dumps({"i": i, "payload": "x" * 64}),
+                            }
+                        )
+                        + "\n"
+                    )
+        name = f"bench-{uuid.uuid4().hex[:8]}"
+        pub = MemoryPublisher.named(name)
+        t0 = time.perf_counter()
+        cq = start_cdc_query(
+            file_replay_stream(spark, events_dir, max_files_per_trigger=1),
+            pub,
+            name,
+            os.path.join(tmp, "ckpt"),
+            available_now=True,
+        )
+        cq.query.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        delivered = len(pub.messages[name])
+        MemoryPublisher.reset(name)
+        return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("mrcond-bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     queries = all_queries()
@@ -46,6 +100,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cdc_eps = bench_streaming(spark)
     print(
         json.dumps(
             {
@@ -56,6 +111,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": CPUS,
+                "cdc_events_per_sec": cdc_eps,
             }
         )
     )

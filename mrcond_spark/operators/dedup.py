@@ -48,12 +48,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array from whitespace-tokenized text (JVM-side)."""
-    toks = F.split(normalized_text(col), " ")
-    # transform over a sliding index range: shingle i = tokens[i..i+n)
+    """Word n-gram shingle array from whitespace-tokenized text (JVM-side).
+
+    NOTE: prefer the two-step ``shingles_from_tokens`` over a materialized
+    token column in hot paths — Catalyst re-evaluates lambda-captured
+    expressions per array element, so embedding the tokenizer here is
+    O(len^2) per document.
+    """
+    return shingles_from_tokens(F.split(normalized_text(col), " "), n)
+
+
+def shingles_from_tokens(tok_col: Column, n: int = 3) -> Column:
+    """Shingles over a pre-tokenized array column (O(len), CSE-safe)."""
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)),
     )
 
 
@@ -202,8 +211,11 @@ def ngram_jaccard(
     Verification stage: joins the (small) candidate set back to the corpus
     twice; array intersection/union are JVM built-ins.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.split(normalized_text(F.col(text_col)), " ").alias("toks")
+    )
+    sh = toked.select(
+        "id", F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sh")
     )
     return (
         pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -35,7 +35,29 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Expression-form cosine (sequential fold — deterministic order, used by
+    the hash-oracle-checked exact top-k). Higher-order functions run
+    interpreted, so for large candidate sets prefer ``cosine_pairs_udf``."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs_udf():
+    """Vectorized cosine for (va, vb) array-column pairs: one numpy einsum
+    per Arrow batch — ~2 orders faster than the interpreted fold on bulk
+    candidate verification. Self-contained closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.vstack(va.to_numpy()).astype("float64")
+        b = np.vstack(vb.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(np.where(den > 0, num / np.maximum(den, 1e-300), 0.0))
+
+    return cos
 
 
 def cosine_topk(
@@ -154,37 +176,43 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    bits: int = 10,
-    tables: int = 6,
+    bits: int = 8,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH candidates +
-    exact verification — the embedding-space dedup tier (SURVEY E2/E4 hybrid)."""
+    exact verification — the embedding-space dedup tier (SURVEY E2/E4 hybrid).
+
+    Targets true near-duplicates (cosine >= ~0.9): at that similarity an
+    8-bit bucket match has p~0.43 per table -> ~0.9 recall over 4 tables,
+    while weakly-similar pairs almost never collide, keeping candidate volume
+    near-linear. The bucket self-join carries ONLY ids (the heavy vector
+    arrays join back after pair dedup) — candidate shuffle stays id-sized.
+    """
     buckets = lsh_buckets_udf(dim, bits, tables)
     b = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
-    cand = (
+    pairs = (
         x.join(
             y,
             (F.col("x.table") == F.col("y.table"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("x.v").alias("va"),
-            F.col("y.id").alias("id_b"),
-            F.col("y.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos_udf = cosine_pairs_udf()
     return (
-        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_udf(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").alias("cos_r"))
     )

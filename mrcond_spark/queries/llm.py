@@ -234,6 +234,81 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q54_embedding_near_dup",
+    oracle=None,  # LSH-candidate-based (approximate); recall tested in pytest
+    doc="embedding-cosine near-duplicate pairs via LSH candidates + exact "
+    "verification (E2/E4 hybrid dedup tier)",
+    tags=("E2", "E4"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    # the sf-scale parquet is a single small file -> one input partition; at
+    # 100 TB the scan splits naturally, locally we spread the UDF/cosine work
+    e = load(spark, sf, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    # threshold targets true near-duplicates; on the synthetic (independent)
+    # vectors this legitimately yields ~0 pairs — planted-duplicate recall is
+    # tested in tests/test_operators.py
+    return similarity.embedding_near_dup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "q55_ngram_jaccard",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(lower(trim(text)), '\\s+')[i],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+2])
+                 )
+               ) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(FLOOR(10000 * len(list_intersect(a.sh, b.sh))
+                / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)) AS BIGINT) AS jaccard_bp
+    FROM toked a JOIN toked b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+    doc="exact 3-gram Jaccard (basis points) between consecutive doc pairs — "
+    "the deterministic verification stage of near-dup dedup (E2), hash-oracle checked",
+    tags=("E2",),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    # two-step tokenize->shingle: keeps the tokenizer out of the per-element
+    # lambda (Catalyst re-evaluates captured expressions per element)
+    toked = d.select(
+        "doc_id", F.split(dedup.normalized_text(F.col("text")), " ").alias("toks")
+    )
+    sh = toked.select(
+        F.col("doc_id"),
+        F.array_distinct(dedup.shingles_from_tokens(F.col("toks"), 3)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    ).alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.join_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            "id_b",
+            F.floor(
+                10000
+                * F.size(F.array_intersect("a.sh", "sh_b"))
+                / F.greatest(F.size(F.array_union("a.sh", "sh_b")), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@register(
     "q50_multimodal_features",
     oracle=None,  # synthetic asset table; plumbing asserted in pytest
     doc="mapInPandas feature extraction over binary multimodal assets (E6)",

@@ -52,6 +52,29 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert hits / total >= 0.6, f"ANN recall {hits}/{total}"
 
 
+def test_embedding_near_dup_planted_recall(spark):
+    """E2/E4: planted near-identical vectors (tiny perturbation, cos > 0.99)
+    must surface through LSH candidates + exact verification; independent
+    random vectors must not."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.01)) for x in v]))  # planted dup
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    planted = {(i, i + 1000) for i in range(40)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"planted near-dup recall {recall}"
+    assert not (pairs - planted), f"false positives: {pairs - planted}"
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""
