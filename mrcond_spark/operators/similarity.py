@@ -209,6 +209,11 @@ def embedding_near_dup_pairs(
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos_udf = cosine_pairs_udf()
+    # the id-pair set is byte-small, so AQE coalesces it to ~1 partition —
+    # which would serialize the cosine-verify UDF; explicit repartition keeps
+    # the verify stage parallel (user repartitions are AQE-exempt)
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(parallelism)
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -241,9 +241,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E2", "E4"),
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
-    # the sf-scale parquet is a single small file -> one input partition; at
-    # 100 TB the scan splits naturally, locally we spread the UDF/cosine work
-    e = load(spark, sf, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    e = load(spark, sf, "embeddings")
     # threshold targets true near-duplicates; on the synthetic (independent)
     # vectors this legitimately yields ~0 pairs — planted-duplicate recall is
     # tested in tests/test_operators.py
