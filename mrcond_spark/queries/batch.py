@@ -176,15 +176,21 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     "q06_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1997-01-01'
+    )
     ORDER BY c_custkey
     """,
-    doc="left anti join (NOT EXISTS): customers with no orders",
+    doc="left anti join (NOT EXISTS): customers with no recent orders "
+    "(date predicate keeps the result non-empty at every SF)",
     tags=("B7",),
 )
 def q06(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

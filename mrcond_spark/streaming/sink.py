@@ -54,6 +54,9 @@ class MemoryPublisher:
         self.messages: dict[str, list[str]] = defaultdict(list)
         self.declared: set[str] = set()
         self.fail_next: int = 0  # fault injection: fail next N publish calls
+        #: fault injection: on the next call, publish this many messages and
+        #: THEN fail — models a broker failure mid-batch (redelivery dupes)
+        self.fail_after: int | None = None
 
     @classmethod
     def named(cls, name: str) -> "MemoryPublisher":
@@ -76,6 +79,11 @@ class MemoryPublisher:
             if self.fail_next > 0:
                 self.fail_next -= 1
                 raise RuntimeError("injected publish failure")
+            if self.fail_after is not None:
+                n = self.fail_after
+                self.fail_after = None
+                self.messages[stream_name].extend(payloads[:n])
+                raise RuntimeError("injected mid-batch publish failure")
             self.messages[stream_name].extend(payloads)
 
 

@@ -166,6 +166,32 @@ def test_sink_failure_classified_and_redelivered(spark, tmp_path):
     assert metrics.failures.get((name, "sink")) == 1
 
 
+def test_mid_batch_failure_at_least_once_duplicates(spark, tmp_path):
+    """Broker dies after 1 of 3 messages: the batch retries from the
+    checkpoint, so the consumer sees a duplicated prefix — at-least-once,
+    exactly the reference's crash-between-publish-and-token-save window
+    (connector.rs:150-163)."""
+    name = f"q-{uuid.uuid4().hex[:8]}"
+    events_dir, _, pub, spec = make_server(spark, tmp_path, name)
+    pub.fail_after = 1
+    write_envelope_file(events_dir, "b0.json", [insert_event(i, d) for i, d in enumerate(DOCS)])
+
+    server = ConnectorServer([spec])
+    server.start()
+    server.await_all(poll_interval_s=0.2, timeout_s=180)
+
+    got = received_docs(pub, name)
+    assert got == [DOCS[0]] + DOCS  # duplicated prefix, then the full ordered batch
+    # dedup by document identity recovers exactly-once content
+    seen, unique = set(), []
+    for d in got:
+        k = tuple(sorted(d.items()))
+        if k not in seen:
+            seen.add(k)
+            unique.append(d)
+    assert unique == DOCS
+
+
 def test_classify_error_table():
     assert classify_error("SINK_ERROR[q]: injected") == "sink"
     assert classify_error("MongoServerError: not primary") == "source"
