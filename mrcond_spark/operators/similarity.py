@@ -172,6 +172,86 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the
+    cluster-partitioned scale path (SURVEY E4 alternative to LSH).
+
+    Build: MLlib KMeans (seeded) partitions the corpus into ``n_clusters``
+    cells; every vector stores its cell id. Search: each query probes its
+    ``n_probe`` nearest centroids (centroids are tiny — computed driver-side)
+    and exact-cosine re-ranks only those cells' members.
+
+    100 TB shape: the index build is one KMeans fit (itself
+    sampled/streamed), assignment is a broadcast-centroid map stage, and a
+    search touches n_probe/n_clusters of the data. Storing the table
+    physically partitioned by cell id turns each probe into partition
+    pruning.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    # maxIter=10: cell assignment only needs rough centroids (recall is set
+    # by n_probe, not centroid convergence); the fit is the one-time index
+    # build cost and would be sampled at 100 TB anyway
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs).select("nbr_id", "nv", F.col("prediction").alias("cell"))
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_local = queries.collect()  # |queries| is small and pinned by contract
+    cnorm = np.linalg.norm(centroids, axis=1)
+    probe_rows = []
+    for r in q_local:
+        qv = np.asarray(r["qv"], dtype="float64")
+        sims = (centroids @ qv) / (np.maximum(cnorm * np.linalg.norm(qv), 1e-300))
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r["query_id"], list(map(float, qv)), int(cell)))
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id LONG, qv ARRAY<DOUBLE>, cell INT"
+    )
+
+    cos_udf = cosine_pairs_udf()
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cos_udf(F.col("qv"), F.col("nv").cast("array<double>")), 4).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

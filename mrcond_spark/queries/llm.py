@@ -234,6 +234,18 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q56_ann_ivf",
+    oracle=None,  # approximate; recall@k vs exact q41 asserted in pytest
+    doc="IVF approximate nearest neighbors: KMeans cells + n_probe exact "
+    "re-rank — the partition-pruned scale path for ANN (E4)",
+    tags=("E4",),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    return similarity.ivf_ann_topk(e, PINNED_VEC_IDS, k=3).orderBy("query_id", "rank")
+
+
+@register(
     "q54_embedding_near_dup",
     oracle=None,  # LSH-candidate-based (approximate); recall tested in pytest
     doc="embedding-cosine near-duplicate pairs via LSH candidates + exact "

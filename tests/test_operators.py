@@ -75,6 +75,22 @@ def test_embedding_near_dup_planted_recall(spark):
     assert not (pairs - planted), f"false positives: {pairs - planted}"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """E4: IVF with n_probe=8 of 16 cells recalls >= 60% of exact top-3 on
+    the weakly-structured synthetic vectors (probing half the cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(e, PINNED_VEC_IDS, k=3).collect()
+    approx = similarity.ivf_ann_topk(e, PINNED_VEC_IDS, k=3, n_clusters=16, n_probe=8).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    for r in approx:
+        aps.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(len(es[q] & aps.get(q, set())) for q in es)
+    total = sum(len(s) for s in es.values())
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""
