@@ -33,22 +33,28 @@ def asof_join(
     value_cols: list[str] | None = None,
     *,
     strict: bool = False,
+    direction: str = "backward",
     right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (``<`` when ``strict``) within the same key group.
+    """For each left row, attach the nearest right row within the same key
+    group: latest with ``right.ts <= left.ts`` (``direction='backward'``, the
+    default) or earliest with ``right.ts >= left.ts`` (``'forward'``);
+    ``strict`` excludes equal timestamps.
 
-    Left rows with no prior right row keep NULL value columns (ASOF LEFT JOIN
+    Left rows with no match keep NULL value columns (ASOF LEFT JOIN
     semantics). ``right_tiebreak`` makes same-timestamp right rows
     deterministic (last in tiebreak order wins); pre-deduplicate the right
     side if exact determinism matters and no natural tiebreak exists.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in on and c != right_ts]
     left_cols = left.columns
     right_tiebreak = right_tiebreak or []
 
-    # Side ordering at equal timestamps decides inclusivity: right rows sort
-    # before left rows (side 0 < 1) for inclusive <=, after them for strict <.
+    # Side ordering at equal timestamps decides inclusivity: for backward,
+    # right rows sort before left (side 0 < 1) so <= includes them; strict
+    # puts them after. Forward mirrors this under a descending ts sort.
     right_side, left_side = (0, 1) if not strict else (2, 1)
 
     r = right.select(
@@ -67,7 +73,8 @@ def asof_join(
     )
     unioned = r.unionByName(l)
 
-    order: list[Column] = [F.col(_TS).asc(), F.col(_SIDE).asc()]
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    order: list[Column] = [ts_order, F.col(_SIDE).asc()]
     order += [F.col(c).asc_nulls_first() for c in right_tiebreak]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

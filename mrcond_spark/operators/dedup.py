@@ -153,6 +153,49 @@ def minhash_lsh_pairs(
     )
 
 
+def mllib_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+    max_jaccard_distance: float = 0.6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MLlib-native near-dup tier: HashingTF over shingles -> MinHashLSH ->
+    approxSimilarityJoin (SURVEY E2's named composition).
+
+    Alternative to the custom banded implementation (``minhash_lsh_pairs``):
+    MLlib returns calibrated Jaccard *distances* and handles banding
+    internally; the custom path gives explicit band/bucket control. Both
+    shuffle on hash buckets, never all-pairs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+    )
+    sh = toked.select(
+        "id", F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_n)).alias("sh")
+    ).filter(F.size("sh") > 0)  # MinHashLSH requires at least one non-zero entry
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feat = tf.transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .distinct()
+    )
+
+
 def simhash64_udf(shingle_n: int = 2):
     """Arrow-batched 64-bit SimHash: text -> signed BIGINT fingerprint.
 

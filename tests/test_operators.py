@@ -113,6 +113,56 @@ def test_minhash_planted_duplicate_recall(spark):
     assert not false_pairs, f"unrelated docs paired: {false_pairs}"
 
 
+def test_mllib_minhash_planted_duplicate_recall(spark):
+    """E2 (MLlib tier): planted near-dups surface with calibrated Jaccard
+    distance; unrelated docs stay apart."""
+    docs = []
+    for d in range(8):
+        words = [f"w{d}_{j}" for j in range(40)]
+        docs.append((d, " ".join(words)))
+        near = list(words)
+        near[7] = "CHANGED"
+        docs.append((d + 100, " ".join(near)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = dedup.mllib_minhash_pairs(df, max_jaccard_distance=0.6).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(d, d + 100) for d in range(8)}
+    assert len(pairs & planted) / len(planted) >= 0.9
+    assert not (pairs - planted)
+    # distances are calibrated: a one-token-of-40 change => small distance
+    for r in got:
+        if (r["id_a"], r["id_b"]) in planted:
+            assert float(r["jaccard_dist"]) < 0.25
+
+
+def test_asof_forward_direction(spark):
+    """B10: forward as-of picks the EARLIEST right row at-or-after left.ts."""
+    from pyspark.sql import functions as FF
+
+    left = spark.createDataFrame([(1, 100), (1, 300)], "k LONG, lts LONG").withColumn(
+        "lts", FF.timestamp_seconds("lts")
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (1, 250, 3.0)], "k LONG, rts LONG, v DOUBLE"
+    ).withColumn("rts", FF.timestamp_seconds("rts"))
+    fwd = {
+        int(r["lts"].timestamp()): r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    assert fwd[100] == 1.0  # inclusive same-ts
+    assert fwd[300] is None  # nothing at-or-after
+    strict_fwd = {
+        int(r["lts"].timestamp()): r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            direction="forward", strict=True,
+        ).collect()
+    }
+    assert strict_fwd[100] == 2.0  # same-ts excluded -> next one
+
+
 def test_simhash_exact_dup_detection(spark):
     """E2: identical docs share a SimHash; shuffled-token docs do too
     (SimHash is order-insensitive) but unrelated docs don't."""
