@@ -88,9 +88,13 @@ def main() -> None:
 
     # warm the JVM, parquet footers, AND the Python worker pool — q54 drives
     # a CPUS-wide pandas-UDF stage, so all workers fork+import numpy here
-    # rather than inside whichever timed query hits a wide UDF stage first
-    queries["q01_scan_project"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # rather than inside whichever timed query hits a wide UDF stage first.
+    # Finish with a trivial query + settle pause so the first TIMED query
+    # doesn't absorb post-warmup GC/JIT churn.
     queries["q54_embedding_near_dup"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    queries["q01_scan_project"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 
     # min of two runs per query: the driver records one number; scheduling
     # jitter on a shared box shouldn't be it
