@@ -34,14 +34,17 @@ def build_server(
     spark=None,
 ) -> ConnectorServer:
     spark = spark or get_spark("mrcond-daemon")
-    publisher = RabbitMQPublisher(settings.connections.rabbitmq_uri)
+    # one publisher (connection + channel) PER stream: foreachBatch callbacks
+    # run on separate driver threads and pika's BlockingConnection is not
+    # thread-safe — same channel-per-publisher layout as the reference
+    # (mrcon/src/rabbitmq/amqp.rs:69-86)
     specs = [
         StreamSpec(
             stream_name=c.stream_name,
             source_factory=(
                 lambda coll=c: mongo_change_stream(spark, settings.connections.mongo_uri, coll)
             ),
-            publisher=publisher,
+            publisher=RabbitMQPublisher(settings.connections.rabbitmq_uri),
             checkpoint_dir=os.path.join(checkpoint_root, c.stream_name),
         )
         for c in settings.collections
@@ -64,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         server = build_server(settings, metrics, args.checkpoint_root)
         server.start()
         server.await_all()
-        return 0
+        # permanently-failed streams are an operational failure, not a clean
+        # exit — orchestrators must see nonzero and restart/alert
+        return 1 if server.failed else 0
     finally:
         httpd.shutdown()
 

@@ -50,6 +50,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in on and c != right_ts]
     left_cols = left.columns
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"right value columns {sorted(clash)} collide with left columns; "
+            "rename one side before asof_join (ambiguous output otherwise)"
+        )
     right_tiebreak = right_tiebreak or []
 
     # Side ordering at equal timestamps decides inclusivity: for backward,

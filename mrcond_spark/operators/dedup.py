@@ -18,7 +18,10 @@ functions), no Python in the hot path.
 
 from __future__ import annotations
 
-import pandas as pd
+# NOT dead code: pandas_udf resolves the string annotations ('pd.Series') of
+# the nested UDFs against THIS module's globals — the factory-local
+# `import pandas as pd` alone fails with UNSUPPORTED_SIGNATURE
+import pandas as pd  # noqa: F401
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -80,6 +83,8 @@ def minhash_band_udf(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, s
     from pyspark.sql.functions import pandas_udf
     import pandas as pd
 
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
 
     @pandas_udf("array<long>")

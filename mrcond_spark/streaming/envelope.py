@@ -34,16 +34,21 @@ ENVELOPE_SCHEMA = StructType(
 )
 
 
-def to_payload(df: DataFrame) -> DataFrame:
+def to_payload(df: DataFrame, include_operation: bool = False) -> DataFrame:
     """R3 projection: serialize the whole event struct to a JSON payload
     (identity projection, format change only — `amqp.rs:96`).
 
-    Keeps ``_id`` alongside for per-batch ordering and resume bookkeeping.
+    Keeps ``_id`` alongside for per-batch ordering and resume bookkeeping;
+    ``include_operation`` additionally carries ``operationType`` (as ``__op``)
+    so terminal-event detection costs no second projection/job.
     """
-    return df.select(
+    cols = [
         F.col("_id").alias("_token"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
-    )
+    ]
+    if include_operation:
+        cols.append(F.col("operationType").alias("__op"))
+    return df.select(*cols)
 
 
 def is_terminal(op_col: Column) -> Column:

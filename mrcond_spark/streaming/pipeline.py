@@ -24,8 +24,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .envelope import TERMINAL_OPERATIONS
-from .sink import Publish, make_foreach_batch
+from .envelope import TERMINAL_OPERATIONS, to_payload
+from .sink import Publish
 
 
 @dataclass
@@ -53,24 +53,24 @@ def start_cdc_query(
     ``available_now=True`` drains everything currently available then stops —
     the replay-test mode; production runs continuous micro-batches.
     """
-    publish = make_foreach_batch(publisher, stream_name)
+    publisher.declare(stream_name)
     terminal = threading.Event()
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
+        # ONE job per micro-batch: token + payload + operationType collected
+        # together (sorted by resume token for the ordering contract), so
+        # terminal detection costs nothing extra on the hot path
+        rows = (
+            to_payload(batch_df, include_operation=True).orderBy(F.col("_token")).collect()
+        )
+        if rows:
             try:
-                publish(batch_df, epoch_id)
+                publisher.publish_batch(stream_name, [r["value"] for r in rows])
             except Exception as e:
                 # tag sink-origin failures for supervisor classification
                 raise RuntimeError(f"SINK_ERROR[{stream_name}]: {e}") from e
-            if (
-                batch_df.filter(F.col("operationType").isin(*TERMINAL_OPERATIONS)).limit(1).count()
-                > 0
-            ):
+            if any(r["__op"] in TERMINAL_OPERATIONS for r in rows):
                 terminal.set()
-        finally:
-            batch_df.unpersist()
 
     writer = (
         source_df.writeStream.foreachBatch(handle)

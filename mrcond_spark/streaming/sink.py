@@ -24,10 +24,6 @@ import threading
 from collections import defaultdict
 from typing import Protocol
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-from .envelope import to_payload
 
 
 class Publish(Protocol):
@@ -127,18 +123,3 @@ class RabbitMQPublisher:
         # fails and Structured Streaming retries it from the checkpoint.
 
 
-def make_foreach_batch(publisher: Publish, stream_name: str):
-    """Build the foreachBatch callable: sort by resume token, serialize, publish.
-
-    The collect() is bounded by micro-batch size (source rate limits), and a
-    queue with ordering semantics is an inherently serial consumer — the same
-    trade the reference makes with its one-event-at-a-time loop.
-    """
-    publisher.declare(stream_name)
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = to_payload(batch_df).orderBy(F.col("_token")).collect()
-        if rows:
-            publisher.publish_batch(stream_name, [r["value"] for r in rows])
-
-    return handle

@@ -132,7 +132,8 @@ class ConnectorServer:
                 reason = classify_error(str(exc))
                 self.metrics.record_failure(name, reason)
                 n = self._restart_counts.get(name, 0)
-                if n >= self.max_restarts:
+                if n >= self.max_restarts or self._stop_requested:
+                    # never spawn a fresh (unsupervised) query during shutdown
                     self.failed.add(name)
                     self.metrics.record_server_stopped(name)
                     continue
