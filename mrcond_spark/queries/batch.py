@@ -875,6 +875,61 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# range join (custom operator; naive Spark plan would be nested-loop)
+# --------------------------------------------------------------------------
+@register(
+    "q58_range_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1995-02-01'
+      AND l.l_shipdate >= DATE '1995-01-01' AND l.l_shipdate < DATE '1995-02-15'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="point-in-interval range join via bucketized equi-join "
+    "(operators/range_join.py): lineitem ship dates inside each order's "
+    "7-day window — the plan is a hash join on bucket ids, not a nested loop",
+    tags=("B9",),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.range_join import range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        load(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01").cast("date"))
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("start_day"),
+        )
+        .withColumn("end_day", F.col("start_day") + 7)
+    )
+    l = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-02-15").cast("date"))
+        )
+        .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_day"))
+    )
+    joined = range_join(
+        l, o, point_col="ship_day", start_col="start_day", end_col="end_day",
+        bucket_width=F.lit(7),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # B30/B31 — approx count-distinct + sampling (no hash oracle by design)
 # --------------------------------------------------------------------------
 @register(

@@ -217,6 +217,37 @@ def test_asof_join_semantics(spark):
     assert strict[(1, 100)] is None  # same-ts excluded
 
 
+def test_range_join_semantics(spark):
+    """Half-open vs inclusive bounds, equi-key matching, and bucket-boundary
+    pairs (interval spanning buckets) all behave exactly."""
+    from pyspark.sql import functions as FF
+
+    from mrcond_spark.operators.range_join import range_join
+
+    points = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 15), ("b", 5)], "k STRING, p LONG"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 5, 15, "i1"), ("b", 0, 4, "i2")], "k STRING, s LONG, e LONG, iid STRING"
+    )
+    half_open = {
+        (r["k"], r["p"], r["iid"])
+        for r in range_join(
+            points, intervals, "p", "s", "e", FF.lit(7), on=["k"]
+        ).collect()
+    }
+    # [5,15): includes 5 and 10, excludes 15; b@5 not in [0,4)
+    assert half_open == {("a", 5, "i1"), ("a", 10, "i1")}
+
+    inclusive = {
+        (r["k"], r["p"], r["iid"])
+        for r in range_join(
+            points, intervals, "p", "s", "e", FF.lit(7), on=["k"], inclusive_end=True
+        ).collect()
+    }
+    assert inclusive == {("a", 5, "i1"), ("a", 10, "i1"), ("a", 15, "i1")}
+
+
 def test_multimodal_feature_plumbing(spark):
     """E6: mapInPandas featurization — schema, determinism, batch shape."""
     assets = multimodal.synthetic_assets(spark, n=32)

@@ -56,6 +56,14 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in text
 
 
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as a hash/sort-merge equi-join on
+    bucket ids — never BroadcastNestedLoopJoin or a cartesian product."""
+    text = plans.explain_str(QUERIES["q58_range_join"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
 def test_whole_stage_codegen_covers_scalar_packs(spark, sf_dir):
     """AQE defers codegen insertion to execution; disable it here so the
     static plan exposes the WholeStageCodegen subtrees for assertion."""
