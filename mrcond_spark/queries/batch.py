@@ -930,6 +930,41 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hypertable-style time rollup: hour + day resolutions in one pass
+# --------------------------------------------------------------------------
+@register(
+    "q59_time_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    ORDER BY day NULLS FIRST, hour NULLS FIRST
+    """,
+    doc="continuous-aggregate-style rollup: hourly buckets, daily subtotals, "
+    "and a grand total in ONE aggregation pass (rollup = partial-agg reuse "
+    "across resolutions, the hypertable pattern)",
+    tags=("B13", "B23"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hour")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC4).alias("sum_value"),
+        )
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
 # B30/B31 — approx count-distinct + sampling (no hash oracle by design)
 # --------------------------------------------------------------------------
 @register(
