@@ -26,6 +26,8 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_parallelism
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical text form for exact dedup: trim, lowercase, collapse whitespace."""
@@ -140,6 +142,7 @@ def minhash_lsh_pairs(
     shuffle is by bucket, never all-pairs.
     """
     buckets = minhash_band_udf(num_hashes, bands, shingle_n)
+    df = ensure_parallelism(df)
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(text_col))).alias("band", "bucket"),
@@ -167,17 +170,24 @@ def mllib_minhash_pairs(
     max_jaccard_distance: float = 0.6,
     num_features: int = 1 << 18,
 ) -> DataFrame:
-    """MLlib-native near-dup tier: HashingTF over shingles -> MinHashLSH ->
-    approxSimilarityJoin (SURVEY E2's named composition).
+    """MLlib-native near-dup tier: HashingTF over shingles -> MinHashLSH
+    signatures -> explicit banded self-join -> exact Jaccard verify (SURVEY
+    E2's named composition).
 
-    Alternative to the custom banded implementation (``minhash_lsh_pairs``):
-    MLlib returns calibrated Jaccard *distances* and handles banding
-    internally; the custom path gives explicit band/bucket control. Both
-    shuffle on hash buckets, never all-pairs.
+    Uses the fitted ``MinHashLSHModel``'s hash functions for the signatures
+    (the MLlib part), but replaces ``approxSimilarityJoin`` with our own
+    (table, hash-value) self-join + JVM-side shingle-set Jaccard: the MLlib
+    join computes its distance in a per-row Scala UDF on 2^18-dim sparse
+    vectors over an AQE-coalesced (byte-small, CPU-heavy) single partition —
+    unboundable from the outside. Candidate semantics are identical (same
+    OR-amplified hash collisions); the verify distance is exact shingle-set
+    Jaccard instead of hashed-index Jaccard (differs only on 2^18-space
+    HashingTF collisions).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
-    toked = df.select(
+    toked = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
     )
@@ -189,15 +199,40 @@ def mllib_minhash_pairs(
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     ).fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="jaccard_dist")
-    return (
-        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+    # hashes: array of 1-dim vectors, one minhash per table -> (table, hval)
+    sig = model.transform(feat).select(
+        "id", F.posexplode(F.col("hashes")).alias("table", "hvec")
+    ).select("id", "table", vector_to_array(F.col("hvec"))[0].alias("hval"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.hval") == F.col("b.hval"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    # candidate set is byte-small -> AQE would coalesce the verify stage to 1
+    # partition; explicit repartition keeps exact-Jaccard verification wide
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                1
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+                4,
+            ).alias("jaccard_dist"),
+        )
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
 
 
@@ -242,7 +277,9 @@ def simhash64_udf(shingle_n: int = 2):
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (bucketed, one shuffle)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sim"))
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sim")
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, (F.col("a.sim") == F.col("b.sim")) & (F.col("a.id") < F.col("b.id")))

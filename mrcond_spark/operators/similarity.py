@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (JVM, codegen'd)."""
@@ -149,7 +151,7 @@ def lsh_ann_topk(
         )
 
     q = bucketize(embeddings.filter(F.col(id_col).isin(query_ids)), "query_id", "qv")
-    n = bucketize(embeddings, "nbr_id", "nv")
+    n = bucketize(ensure_parallelism(embeddings), "nbr_id", "nv")
     cand = (
         q.join(n, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("nbr_id"))
@@ -201,15 +203,19 @@ def ivf_ann_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = embeddings.select(
+    # NOT persisted (lazy return — a persist would leak into the session);
+    # MLlib KMeans caches its internal instances RDD during the fit, and the
+    # assignment pass recomputes vecs once as a parallel map stage. A real
+    # deployment materializes the assigned table with an explicit write.
+    vecs = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    # maxIter=10: cell assignment only needs rough centroids (recall is set
-    # by n_probe, not centroid convergence); the fit is the one-time index
-    # build cost and would be sampled at 100 TB anyway
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(vecs)
+    # random init + few iterations: cell assignment only needs rough centroids
+    # (recall is set by n_probe, not centroid convergence); k-means|| init
+    # alone costs more passes over the data than the whole rough fit
+    model = KMeans(k=n_clusters, seed=seed, maxIter=5, initMode="random").fit(vecs)
     assigned = model.transform(vecs).select("nbr_id", "nv", F.col("prediction").alias("cell"))
 
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
@@ -271,7 +277,7 @@ def embedding_near_dup_pairs(
     arrays join back after pair dedup) — candidate shuffle stays id-sized.
     """
     buckets = lsh_buckets_udf(dim, bits, tables)
-    b = embeddings.select(
+    b = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
