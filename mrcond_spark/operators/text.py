@@ -29,15 +29,21 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-pre-tokenizer-ish lexeme pattern: alphanumeric runs or punctuation runs
+#: (whitespace delimits). RE2-compatible, so the DuckDB oracle can run the
+#: exact same pattern.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Sub-word-ish lexemes the way a BPE pre-tokenizer chunks text before
+    merges: maximal alphanumeric runs and punctuation runs."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish token count: split on word/non-word boundaries like a BPE
-    pre-tokenizer would (letters runs, digit runs, punctuation singles)."""
-    return F.size(
-        F.filter(
-            F.split(col, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\s+"),
-            lambda t: t != "",
-        )
-    )
+    """Count of BPE-pre-tokenizer-ish lexemes (see ``bpe_ish_tokens``)."""
+    return F.size(bpe_ish_tokens(col))
 
 
 def lang_id_heuristic(col: Column) -> Column:

@@ -336,6 +336,87 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q60_quality_gate",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS q_tokens
+        FROM documents
+        WHERE lang IN ('en', 'de', 'es', 'fr')
+    ),
+    gated AS (SELECT * FROM feat WHERE q_tokens BETWEEN 20 AND 80),
+    uniq AS (
+        SELECT lang, h, MIN(q_tokens) AS q_tokens, COUNT(*) AS dup_count
+        FROM gated GROUP BY lang, h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(dup_count) AS BIGINT) AS n_docs,
+           CAST(SUM(q_tokens) AS BIGINT) AS sum_tokens,
+           CAST((SUM(q_tokens) * 10000) // GREATEST(COUNT(*), 1) AS BIGINT) AS avg_tokens_bp
+    FROM uniq GROUP BY lang ORDER BY lang
+    """,
+    doc="the canonical pre-training curation pipeline in one plan: lang "
+    "whitelist -> token-count quality gate -> exact dedup (normalized-text "
+    "hash) -> per-lang survivor stats; integer math keeps it hash-exact (E1+E5)",
+    tags=("E1", "E5"),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("lang").isin("en", "de", "es", "fr"))
+    feat = text.quality_features(d)
+    gated = feat.filter(F.col("q_tokens").between(20, 80))
+    uniq = (
+        gated.withColumn("h", dedup.text_hash(F.col("text")))
+        .groupBy("lang", "h")
+        .agg(F.min("q_tokens").alias("q_tokens"), F.count("*").alias("dup_count"))
+    )
+    return (
+        uniq.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_unique"),
+            F.sum("dup_count").cast("bigint").alias("n_docs"),
+            F.sum("q_tokens").cast("bigint").alias("sum_tokens"),
+            F.floor(F.sum("q_tokens") * 10000 / F.greatest(F.count("*"), F.lit(1)))
+            .cast("bigint")
+            .alias("avg_tokens_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q61_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))) AS BIGINT) AS sum_bpe,
+           CAST(MIN(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))) AS BIGINT) AS min_bpe,
+           CAST(MAX(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))) AS BIGINT) AS max_bpe
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="per-lang BPE-pre-tokenizer-ish token-count stats (alnum runs + punct "
+    "runs) — the token-budget accounting pass of a training-data pipeline; "
+    "the RE2-safe pattern runs verbatim in both engines (E5)",
+    tags=("E5",),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bpe = text.bpe_ish_token_count(F.col("text"))
+    return (
+        d.select("lang", bpe.alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("sum_bpe"),
+            F.min("n_bpe").cast("bigint").alias("min_bpe"),
+            F.max("n_bpe").cast("bigint").alias("max_bpe"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q50_multimodal_features",
     oracle=None,  # synthetic asset table; plumbing asserted in pytest
     doc="mapInPandas feature extraction over binary multimodal assets (E6)",
