@@ -41,3 +41,28 @@ def test_json_round_trip(spark, tmp_path):
     write_table(df, path, fmt="json")
     back = read_table(spark, path, fmt="json", schema="id LONG, m MAP<STRING,STRING>")
     assert back.collect()[0]["m"] == {"k": "v"}
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """A join of two tables bucketed on the join key runs with NO Exchange —
+    the co-located layout that replaces the shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    try:
+        write_table(a, str(tmp_path / "ba"), bucket_by=(8, ["k"]), table_name="bt_a")
+        write_table(b, str(tmp_path / "bb"), bucket_by=(8, ["k"]), table_name="bt_b")
+        # merge hint pins sort-merge join: bucketed layout must satisfy the
+        # join's distribution requirement with zero Exchange operators
+        joined = spark.table("bt_a").hint("merge").join(spark.table("bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
