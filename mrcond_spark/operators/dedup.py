@@ -288,6 +288,57 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    pieces: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs within ``max_hamming`` bits of SimHash distance.
+
+    Scale shape (the classic piece-bucketing construction): split the 64-bit
+    fingerprint into ``pieces`` disjoint chunks; by pigeonhole, any pair
+    within hamming <= pieces-1 shares at least one EXACT chunk, so candidate
+    generation is an equi-join on (piece_idx, piece_value) — one hash
+    shuffle, never all-pairs. Verification is a JVM-side ``bit_count(xor)``
+    on the candidate set. Requires ``max_hamming < pieces`` for the recall
+    guarantee.
+    """
+    if max_hamming >= pieces:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming ({max_hamming}) < pieces ({pieces})"
+        )
+    if 64 % pieces != 0:
+        raise ValueError(f"pieces ({pieces}) must divide 64")
+    width = 64 // pieces
+    mask = (1 << width) - 1
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sim")
+    )
+    chunks = [
+        F.shiftrightunsigned(F.col("sim"), p * width).bitwiseAND(F.lit(mask))
+        for p in range(pieces)
+    ]
+    exploded = sig.select("id", "sim", F.posexplode(F.array(*chunks)).alias("piece", "pval"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.pval") == F.col("b.pval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

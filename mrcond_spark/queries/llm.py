@@ -240,6 +240,19 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q62_simhash_near_pairs",
+    oracle=None,  # blake2b-based fingerprint; brute-force equivalence in pytest
+    doc="hamming<=3 SimHash near-dup pairs via piece-bucketing (pigeonhole: "
+    "4 disjoint 16-bit chunks, any pair within hamming 3 shares one exactly) "
+    "+ JVM bit_count verify (E2)",
+    tags=("E2",),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
     "q49_ann_lsh",
     oracle=None,  # approximate; recall@k vs exact q41 asserted in pytest
     doc="random-hyperplane LSH approximate nearest neighbors (E4)",

@@ -298,3 +298,37 @@ def test_fingerprint_stability_and_locality(spark):
     fp1 = df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
     fp2 = df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
     assert fp1 == fp2
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """E2: piece-bucketed hamming<=3 SimHash pairs == brute-force all-pairs
+    (the pigeonhole construction loses NO qualifying pair)."""
+    docs = []
+    for f in range(6):
+        words = [f"w{f}_{j}" for j in range(30)]
+        docs.append((f * 10, " ".join(words)))
+        docs.append((f * 10 + 1, " ".join(words)))  # exact copy -> hamming 0
+        near = list(words)
+        near[3] = "CHANGED"
+        docs.append((f * 10 + 2, " ".join(near)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    sigs = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            df.doc_id.alias("id"), dedup.simhash64_udf()(df.text).alias("sim")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    expected = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert {(f * 10, f * 10 + 1, 0) for f in range(6)} <= got  # exact copies
