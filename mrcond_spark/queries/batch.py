@@ -994,3 +994,131 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# batch sessionization: the batch analog of streaming session windows (S7)
+# --------------------------------------------------------------------------
+@register(
+    "q63_batch_sessionize",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+        ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS start_ts,
+           MAX(ts) AS end_ts,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    doc="gap-based sessionization (1h inactivity) via lag -> flag -> running "
+    "sum -> per-session agg: one shuffle on user_id, every window partitions "
+    "by the high-cardinality user key (batch analog of streaming S7)",
+    tags=("B15", "B16", "B23"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 3_600_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table join chain with selective dimension filter
+# --------------------------------------------------------------------------
+@register(
+    "q64_tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(28,8)) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: region-filtered 6-table join (local-supplier "
+    "revenue); dims broadcast, the fact-fact joins shuffle on their keys and "
+    "Catalyst pushes the date filter to the orders scan",
+    tags=("B4", "B11"),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    one = F.lit(1).cast(DEC4)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC4) * (one - F.col("l_discount").cast(DEC4))
+            )
+            .cast("decimal(28,8)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
