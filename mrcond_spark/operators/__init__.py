@@ -23,3 +23,24 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Evaluate ``df`` exactly once and reuse the stored blocks downstream.
+
+    For operators whose plan references an expensive stage from several
+    branches (LSH self-joins, fit+transform+verify pipelines), Catalyst
+    re-executes the shared subtree per branch. ``localCheckpoint`` computes it
+    one time, truncates lineage, and — unlike ``.cache()``, which registers in
+    the session's CacheManager until an explicit unpersist — its blocks are
+    released by the ContextCleaner as soon as the DataFrame is unreachable,
+    so a lazily-returned operator cannot leak storage into the caller's
+    session. Eager so the single evaluation happens at build time rather than
+    racing between branches of the first job.
+
+    100 TB note: on a real cluster this is a deliberate materialization point
+    (executor memory/disk, no lineage); production pipelines would write the
+    stage to a table instead. The win is identical: N downstream consumers,
+    one computation.
+    """
+    return df.localCheckpoint(eager=True)

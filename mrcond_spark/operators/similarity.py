@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import ensure_parallelism
+from . import ensure_parallelism, materialize_once
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -203,14 +203,17 @@ def ivf_ann_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # NOT persisted (lazy return — a persist would leak into the session);
-    # MLlib KMeans caches its internal instances RDD during the fit, and the
-    # assignment pass recomputes vecs once as a parallel map stage. A real
-    # deployment materializes the assigned table with an explicit write.
-    vecs = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    # materialized once (localCheckpoint, ContextCleaner-reclaimed — a plain
+    # persist would leak into the session): the fit's internal passes, the
+    # assignment transform, and the probe join all read these blocks instead
+    # of re-running scan+array_to_vector. A real deployment materializes the
+    # assigned table with an explicit write.
+    vecs = materialize_once(
+        ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nv"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
     )
     # random init + few iterations: cell assignment only needs rough centroids
     # (recall is set by n_probe, not centroid convergence); k-means|| init
@@ -277,9 +280,12 @@ def embedding_near_dup_pairs(
     arrays join back after pair dedup) — candidate shuffle stays id-sized.
     """
     buckets = lsh_buckets_udf(dim, bits, tables)
-    b = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    # both self-join sides reference the bucketize-UDF stage; compute it once
+    b = materialize_once(
+        ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
     )
     x, y = b.alias("x"), b.alias("y")
     pairs = (

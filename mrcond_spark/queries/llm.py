@@ -318,15 +318,11 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q55(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-    # two-step tokenize->shingle: keeps the tokenizer out of the per-element
-    # lambda (Catalyst re-evaluates captured expressions per element)
-    toked = d.select(
-        "doc_id", F.split(dedup.normalized_text(F.col("text")), " ").alias("toks")
-    )
-    sh = toked.select(
-        F.col("doc_id"),
-        F.array_distinct(dedup.shingles_from_tokens(F.col("toks"), 3)).alias("sh"),
-    )
+    # Arrow-batched shingler (CollapseProject inlines a tokenizer projection
+    # into the HOF lambda, going O(len^2)/doc). NOT materialized: the shingle
+    # arrays are large relative to their compute cost, so re-running the UDF
+    # per join side is cheaper than writing/reading checkpoint blocks
+    sh = d.select(F.col("doc_id"), dedup.shingle_udf(3)(F.col("text")).alias("sh"))
     a = sh.alias("a")
     b = sh.select(
         (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
