@@ -1122,3 +1122,146 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# pivot / unpivot — wide<->long reshaping (B11/B25 composition)
+# --------------------------------------------------------------------------
+@register(
+    "q65_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_p
+    FROM orders GROUP BY order_year ORDER BY order_year
+    """,
+    doc="PIVOT: revenue by year x order-status as direct conditional "
+    "aggregation — ONE shuffle on the grouping key. (DataFrame.pivot, even "
+    "with explicit values, lowers to two chained aggregates with an extra "
+    "exchange on (group, pivot) keys; with a known value set the CASE WHEN "
+    "form is strictly better and is what a pivot means relationally)",
+    tags=("B11", "B25"),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+
+    def rev(status: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("price")))
+            .cast("decimal(28,2)")
+            .alias(f"rev_{status.lower()}")
+        )
+
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("order_year")
+        .agg(rev("F"), rev("O"), rev("P"))
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q66_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_p
+        FROM orders GROUP BY order_year
+    )
+    SELECT order_year, status, revenue FROM (
+        SELECT order_year, 'F' AS status, rev_f AS revenue FROM wide
+        UNION ALL SELECT order_year, 'O', rev_o FROM wide
+        UNION ALL SELECT order_year, 'P', rev_p FROM wide
+    ) WHERE revenue IS NOT NULL
+    ORDER BY order_year, status
+    """,
+    doc="UNPIVOT (wide->long melt) of the pivoted revenue table via "
+    "DataFrame.unpivot — a zero-shuffle per-row expansion (Expand node), "
+    "NULL cells dropped to mirror sparse long form",
+    tags=("B11", "B25"),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    wide = q65(spark, sf)
+    return (
+        wide.unpivot(
+            ids=["order_year"],
+            values=["rev_f", "rev_o", "rev_p"],
+            variableColumnName="status",
+            valueColumnName="revenue",
+        )
+        .filter(F.col("revenue").isNotNull())
+        .withColumn("status", F.upper(F.substring("status", 5, 1)))
+        .orderBy("order_year", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (ordered-set aggregates)
+# --------------------------------------------------------------------------
+@register(
+    "q67_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_cont(value, 0.5) AS median_cont,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="exact percentile_disc/percentile per event type. Spark computes "
+    "exact percentiles with a per-group sorted aggregation buffer — fine for "
+    "bounded group counts; unbounded-cardinality keys at 100 TB should use "
+    "approx_percentile (q32's sketch pattern) instead",
+    tags=("B11",),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+            F.expr("percentile(value, 0.5)").alias("median_cont"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC compaction: latest row per key (the batch materialization of a
+# change-stream — reference's downstream consumers build exactly this view)
+# --------------------------------------------------------------------------
+@register(
+    "q68_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="latest-state compaction: one row per key by (ts, event_id) "
+    "tiebreak — the batch view a CDC queue consumer materializes. One "
+    "shuffle on the high-cardinality key; Spark plans a partial windowed "
+    "top-1 (WindowGroupLimit pushes rn<=1 below the sort) so no full "
+    "per-partition sort materializes",
+    tags=("B15", "B16"),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -86,3 +86,19 @@ def test_partition_count_respects_aqe_coalesce(spark, sf_dir):
     """AQE should coalesce the tiny post-shuffle partitions at test scale."""
     df = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("c"))
     assert df.rdd.getNumPartitions() <= 8
+
+
+def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
+    """q68's rn=1 filter must push a partial top-1 per key BELOW the shuffle
+    (WindowGroupLimit before the exchange) — at 100 TB this is the difference
+    between shuffling one row per key and shuffling the whole table."""
+    text = plans.explain_str(QUERIES["q68_latest_per_key"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in text
+
+
+def test_pivot_is_single_shuffle(spark, sf_dir):
+    """q65's conditional-aggregation pivot: one hash exchange for the groupBy
+    plus one range exchange for the ORDER BY — no (group, pivot-key) double
+    aggregation."""
+    df = QUERIES["q65_pivot"].spark(spark, sf_dir)
+    assert plans.shuffle_exchange_count(df) <= 2
