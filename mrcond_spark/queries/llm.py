@@ -427,11 +427,32 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q50_multimodal_features",
-    oracle=None,  # synthetic asset table; plumbing asserted in pytest
-    doc="mapInPandas feature extraction over binary multimodal assets (E6)",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY asset_id
+    """,
+    doc="mapInPandas feature extraction over binary multimodal assets (E6). "
+    "Assets derive distributedly from the documents table (blob = UTF-8 "
+    "bytes, modality assigned per id) — no driver-side table, so the same "
+    "plan runs at any SF; byte counts are oracle-checked, the feature "
+    "vectors + decode-stub plumbing are asserted in pytest",
     tags=("E6",),
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
-    assets = multimodal.synthetic_assets(spark)
+    from ..operators import ensure_parallelism
+
+    d = load(spark, sf, "documents")
+    assets = ensure_parallelism(d).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
     feats = multimodal.extract_features(assets)
     return feats.select("asset_id", "modality", "n_bytes").orderBy("asset_id")
