@@ -1265,3 +1265,77 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# map-typed column functions (B26/B27 companion: map_from_entries,
+# map_filter, explode over maps)
+# --------------------------------------------------------------------------
+@register(
+    "q69_map_funcs",
+    oracle="""
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ) WHERE n >= 3
+    ORDER BY user_id, event_type
+    """,
+    doc="map-typed columns: per-user event-type counts packed with "
+    "map_from_entries, pruned JVM-side with map_filter, unpacked with "
+    "explode. The map stays inside one aggregation's output row — no "
+    "per-entry shuffle amplification; at scale this is the idiom for "
+    "carrying small per-key dictionaries through a pipeline",
+    tags=("B26", "B27"),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    packed = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("counts")
+    )
+    pruned = packed.select(
+        "user_id", F.map_filter("counts", lambda _, v: v >= 3).alias("counts")
+    )
+    return (
+        pruned.select("user_id", F.explode("counts").alias("event_type", "n"))
+        .select("user_id", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# edit-distance fuzzy matching (E2-adjacent deterministic tier)
+# --------------------------------------------------------------------------
+@register(
+    "q70_fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    ORDER BY id_a
+    """,
+    doc="Levenshtein fuzzy name matching over candidate pairs (consecutive "
+    "ids here; any blocked candidate set in practice). Edit distance runs "
+    "JVM-side per pair — the scale rule is the same as every dedup tier: "
+    "generate bounded candidates first (LSH/blocking), never all-pairs",
+    tags=("B22",),
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(
+        (F.col("p_partkey") - 1).alias("join_id"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, a.id_a == b.join_id)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+        .orderBy("id_a")
+    )
