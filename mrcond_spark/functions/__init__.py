@@ -6,7 +6,7 @@ One import surface for the engine's scalar/array helpers:
 - similarity: dot/norm/cosine over array columns
 """
 
-from ..operators.dedup import normalized_text, shingles, text_hash
+from ..operators.dedup import normalized_text, shingle_udf, shingles, text_hash
 from ..operators.similarity import cosine, dot, norm
 from ..operators.text import (
     bpe_ish_token_count,
@@ -21,6 +21,7 @@ __all__ = [
     "normalized_text",
     "text_hash",
     "shingles",
+    "shingle_udf",
     "cosine",
     "dot",
     "norm",

@@ -102,3 +102,29 @@ def test_pivot_is_single_shuffle(spark, sf_dir):
     aggregation."""
     df = QUERIES["q65_pivot"].spark(spark, sf_dir)
     assert plans.shuffle_exchange_count(df) <= 2
+
+
+# --- corpus-wide plan guard ------------------------------------------------
+
+# queries whose SEMANTICS are a cross/theta join (plan legitimately contains
+# a cartesian or nested-loop operator on an intentionally bounded side)
+_NONEQUI_OK = {
+    "q08_cross_join",  # B8 cartesian cardinality, 5x25 rows
+    "q09_theta_join",  # B9 non-equi predicate join
+    "q41_cosine_topk",  # pinned-query broadcast crossJoin (|Q| driver-bounded)
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Every declared query except the intentional non-equi set must plan
+    without CartesianProduct / BroadcastNestedLoopJoin. Guards against a
+    future edit silently dropping a join condition — at 100 TB an accidental
+    cartesian is not 'slow', it's an outage."""
+    offenders = []
+    for name, q in sorted(QUERIES.items()):
+        if name in _NONEQUI_OK:
+            continue
+        text = plans.explain_str(q.spark(spark, sf_dir))
+        if "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
