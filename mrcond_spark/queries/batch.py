@@ -1339,3 +1339,75 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("dist") <= 6)
         .orderBy("id_a")
     )
+
+
+# --------------------------------------------------------------------------
+# time-range window frames (B16 companion: RANGE BETWEEN INTERVAL)
+# --------------------------------------------------------------------------
+@register(
+    "q71_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,4)) AS rolling_1h
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="event-time range frame: per-user rolling 1-hour sum (RANGE BETWEEN "
+    "INTERVAL — frame membership by timestamp value, not row offset). One "
+    "shuffle on the high-cardinality user key; decimal accumulation keeps "
+    "the running sum order-independent and oracle-exact",
+    tags=("B16", "B23"),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", "ts", F.col("value").cast(DEC4).alias("dval")
+    )
+    return (
+        ev.withColumn(
+            "rolling_1h",
+            F.expr(
+                "SUM(dval) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            ).cast(DEC4),
+        )
+        .select("user_id", "event_id", "rolling_1h")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-standard FILTER clause aggregates (B11/B25 composition)
+# --------------------------------------------------------------------------
+@register(
+    "q72_filtered_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O')
+                AS DECIMAL(28,2)) AS open_revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="FILTER-clause aggregation: several differently-predicated aggregates "
+    "in ONE pass / one shuffle (the multi-metric scan idiom — N metrics never "
+    "cost N scans)",
+    tags=("B11", "B25"),
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("bigint").alias("n_finished"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(DEC))
+            )
+            .cast("decimal(28,2)")
+            .alias("open_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

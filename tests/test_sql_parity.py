@@ -63,6 +63,8 @@ DUAL_DIALECT = [
     "q68_latest_per_key",
     "q69_map_funcs",
     "q70_fuzzy_match",
+    "q71_range_frame",
+    "q72_filtered_agg",
 ]
 
 
