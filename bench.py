@@ -104,18 +104,19 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
 
-    # min of two runs per query: the driver records one number; scheduling
-    # jitter on a shared box shouldn't be it
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        if name in SKIP:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    # min over two FULL passes of the corpus (not two back-to-back runs per
+    # query): the driver records one number, and this host shows intermittent
+    # multi-second stall windows — back-to-back runs land in the same window,
+    # while passes separated by minutes decorrelate, so the min is a much
+    # better estimate of the plan's true cost. Same total work either way.
+    names = [n for n in sorted(queries) if n not in SKIP]
+    timings: dict[str, float] = dict.fromkeys(names, float("inf"))
+    for _pass in range(2):
+        for name in names:
             t0 = time.perf_counter()
             queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {n: round(v, 3) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -257,11 +257,31 @@ def mllib_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # materialized: tiny (id pairs), but consumed three times below (member
+    # extraction + the two verify joins) and its lineage is the whole
+    # sig self-join
+    cand = materialize_once(cand)
+    # re-shingle ONLY candidate-pair members for the exact verify: the
+    # candidate id set is tiny, so a broadcast join filters the corpus BEFORE
+    # the shingle UDF — two near-free passes instead of two full-corpus ones.
+    # At 100 TB this is the difference between verify cost tracking
+    # |candidates| vs |corpus|.
+    members = (
+        cand.select(F.col("id_a").alias("mid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    docs_small = ensure_parallelism(df).join(
+        F.broadcast(members), F.col(id_col) == F.col("mid")
+    )
+    sh_small = docs_small.select(
+        F.col(id_col).alias("id"), shingle_udf(shingle_n)(F.col(text_col)).alias("sh")
+    )
     # candidate set is byte-small -> AQE would coalesce the verify stage to 1
     # partition; explicit repartition keeps exact-Jaccard verification wide
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sh_small.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_small.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
