@@ -82,6 +82,64 @@ def bench_streaming(spark, n_events: int = 20000) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
+    """Watermarked tumbling-window aggregation throughput: replay n_events
+    (JSON file source, 4 files -> micro-batches) through S5+S6
+    (watermark + window groupBy) into a noop-equivalent memory sink;
+    returns events/sec. Unlike the CDC path there is no serial per-queue
+    drain — this measures the distributed stateful-agg path."""
+    import datetime as _dt
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrcond_spark.streaming import windows
+
+    tmp = tempfile.mkdtemp(prefix="bench-win-")
+    try:
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        base = _dt.datetime(2024, 1, 1)
+        per_file = n_events // 4
+        for b in range(4):
+            with open(os.path.join(events_dir, f"b{b}.json"), "w") as f:
+                for i in range(b * per_file, (b + 1) * per_file):
+                    ts = base + _dt.timedelta(seconds=i % 86400)
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": i,
+                                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                                "user_id": i % 997,
+                                "event_type": ["view", "click", "buy"][i % 3],
+                                "value": float(i % 100),
+                            }
+                        )
+                        + "\n"
+                    )
+        schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+        stream = spark.readStream.schema(schema).json(events_dir)
+        agg = windows.tumbling_counts(stream, duration="5 minutes")
+        name = f"benchwin{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        n_windows = spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0]["c"]
+        spark.catalog.dropTempView(name)
+        return round(n_events / elapsed, 1) if elapsed > 0 and n_windows > 0 else 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("mrcond-bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     queries = all_queries()
@@ -121,6 +179,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cdc_eps = bench_streaming(spark)
+    win_eps = bench_windowed_stream(spark)
     print(
         json.dumps(
             {
@@ -132,6 +191,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "cpus": CPUS,
                 "cdc_events_per_sec": cdc_eps,
+                "windowed_stream_events_per_sec": win_eps,
             }
         )
     )
