@@ -1035,22 +1035,10 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B15", "B16", "B23"),
 )
 def q63(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.sessionize import sessionize
 
     ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "value")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 3_600_000_000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sess = sessionize(ev, key_col="user_id", ts_col="ts", order_cols=("event_id",), gap_seconds=3600)
     return (
         sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
         .agg(
