@@ -1399,3 +1399,35 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation (B11/B22 composition)
+# --------------------------------------------------------------------------
+@register(
+    "q73_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="ordered string aggregation: per-region sorted nation list. "
+    "collect_list order is partition-dependent in Spark, so determinism "
+    "comes from array_sort before array_join — the only safe listagg "
+    "formulation on a distributed engine",
+    tags=("B11", "B22"),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation")
+    r = F.broadcast(load(spark, sf, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("r_name")
+    )
