@@ -32,7 +32,13 @@ def test_partitioned_write_layout(spark, tmp_path):
     write_table(df, path, partition_by=["yr"])
     assert sorted(d for d in os.listdir(path) if d.startswith("yr=")) == ["yr=2024", "yr=2025"]
     back = read_table(spark, path)
-    assert back.filter("yr = '2025'").count() == 1
+    filtered = back.filter("yr = '2025'")
+    assert filtered.count() == 1
+    # the predicate must become a PARTITION filter (directory pruning — at
+    # scale the difference between listing one partition and scanning all),
+    # not a post-scan data filter
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters", 1)[1][:120], plan
 
 
 def test_json_round_trip(spark, tmp_path):
