@@ -44,3 +44,39 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
 def test_salted_aggregate_rejects_non_algebraic():
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_aggregate(None, ["k"], [("avg", "v", "a")])
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (the runtime half of the skew story — salting
+    is the planned half): with one mega-hot key, the final adaptive plan must
+    mark the sort-merge join skew=true (the hot partition was split across
+    tasks). Thresholds are lowered so test-scale data exhibits 'skew'."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 199_900, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = left.join(right, "k")
+        rows = joined.collect()  # collect() finalizes THIS plan adaptively
+        assert len(rows) == 200_000  # every left row matches exactly one right row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
