@@ -456,3 +456,46 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     )
     feats = multimodal.extract_features(assets)
     return feats.select("asset_id", "modality", "n_bytes").orderBy("asset_id")
+
+
+# --------------------------------------------------------------------------
+# E1/E2 companion — clusters -> representatives (connected components)
+# --------------------------------------------------------------------------
+@register(
+    "q74_dedup_clusters",
+    oracle="""
+    WITH flagged AS (
+        SELECT doc_id, lang,
+               CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS is_new
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, SUM(is_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    )
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY run_id) AS cluster_rep
+    FROM runs ORDER BY doc_id
+    """,
+    doc="pair edges -> clusters -> keep-min representative: the step every "
+    "pair-producing dedup tier needs before it can DROP duplicates. Runs "
+    "distributed min-label connected components (operators/components.py) "
+    "over a deterministic data-derived graph (consecutive same-lang docs), "
+    "so the clustering is DuckDB-checkable; singletons keep themselves as "
+    "representative",
+    tags=("E1", "E2"),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("src"), F.col("lang").alias("lang_a"))
+    b = d.select((F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("dst"), "lang")
+    edges = a.join(b, (a.src == b.join_id) & (F.col("lang_a") == F.col("lang"))).select(
+        "src", "dst"
+    )
+    comp = connected_components(edges, max_iter=15)
+    return (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
+        .orderBy("doc_id")
+    )
