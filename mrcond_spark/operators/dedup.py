@@ -427,3 +427,34 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def remove_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the full curation composition:
+
+        MinHash-LSH candidates  ->  exact shingle-Jaccard verify
+        ->  connected components over verified pairs
+        ->  keep the min-id representative per cluster, drop the rest.
+
+    Returns ``df`` minus non-representative near-duplicates. Scale shape:
+    candidate generation shuffles on LSH buckets (never all-pairs), the
+    verify join is |candidates|-sized, components iterate O(log cluster-
+    diameter) rounds on the (tiny) verified edge list, and the final drop is
+    one broadcast-able anti join keyed on ids.
+    """
+    from .components import connected_components
+
+    cand = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col)
+    edges = ngram_jaccard(cand, df, text_col=text_col, id_col=id_col).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__drop_id")
+    )
+    return df.join(losers, df[id_col] == F.col("__drop_id"), "left_anti")

@@ -499,3 +499,21 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_rep"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q75_near_dup_removal",
+    oracle=None,  # LSH-candidate-dependent; planted-removal asserted in pytest
+    doc="flagship curation composition: MinHash-LSH candidates -> exact "
+    "Jaccard verify -> connected components -> drop non-representatives; "
+    "survivor count per lang (E1+E2, `dedup.remove_near_dups`)",
+    tags=("E1", "E2"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        dedup.remove_near_dups(d)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_survivors"))
+        .orderBy("lang")
+    )

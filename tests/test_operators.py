@@ -332,3 +332,29 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
     }
     assert got == expected
     assert {(f * 10, f * 10 + 1, 0) for f in range(6)} <= got  # exact copies
+
+
+def test_remove_near_dups_drops_planted_duplicates(spark, sf_dir):
+    """Planted near-duplicates (small edits of real docs) must be removed,
+    originals and unrelated docs retained."""
+    from pyspark.sql import functions as F
+
+    from mrcond_spark.catalog import load
+    from mrcond_spark.operators.dedup import remove_near_dups
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in d.orderBy("doc_id").limit(3).collect()}
+    planted = [
+        (100_000 + i, txt + " tail token")  # tiny edit -> jaccard stays high
+        for i, txt in enumerate(base.values())
+    ]
+    corpus = d.union(spark.createDataFrame(planted, "doc_id LONG, text STRING"))
+    kept = {r["doc_id"] for r in remove_near_dups(corpus).select("doc_id").collect()}
+    # all originals kept (min-id representative), all planted copies dropped
+    assert set(base) <= kept
+    assert not kept & {pid for pid, _ in planted}
+    # and planting changes nothing else: survivors = the original corpus's own
+    # survivors (the corpus carries genuine near-dups of its own; each planted
+    # copy only ever clusters with its origin, whose id is smaller)
+    kept_original = {r["doc_id"] for r in remove_near_dups(d).select("doc_id").collect()}
+    assert kept == kept_original
