@@ -313,3 +313,28 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").alias("cos_r"))
     )
+
+
+def remove_embedding_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate REMOVAL (vector analog of
+    ``dedup.remove_near_dups``): LSH-bucketed candidate pairs -> exact cosine
+    verify -> connected components -> keep the min-id representative per
+    cluster, drop the rest. Same scale shape: candidates shuffle on buckets,
+    components iterate on the (tiny) verified edge list, the drop is one
+    anti join."""
+    from .components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__drop_id")
+    )
+    return embeddings.join(losers, embeddings[id_col] == F.col("__drop_id"), "left_anti")

@@ -358,3 +358,22 @@ def test_remove_near_dups_drops_planted_duplicates(spark, sf_dir):
     # copy only ever clusters with its origin, whose id is smaller)
     kept_original = {r["doc_id"] for r in remove_near_dups(d).select("doc_id").collect()}
     assert kept == kept_original
+
+
+def test_remove_embedding_dups_drops_planted_copies(spark, sf_dir):
+    """Exact-copy vectors planted under new ids must drop; originals and the
+    rest of the table survive unchanged."""
+    from pyspark.sql import functions as F
+
+    from mrcond_spark.catalog import load
+    from mrcond_spark.operators.similarity import remove_embedding_dups
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    originals = e.orderBy("vec_id").limit(3).collect()
+    planted = [(900_000 + i, r["embedding"]) for i, r in enumerate(originals)]
+    table = e.union(spark.createDataFrame(planted, e.schema))
+    kept = {r["vec_id"] for r in remove_embedding_dups(table).select("vec_id").collect()}
+    assert {r["vec_id"] for r in originals} <= kept
+    assert not kept & {pid for pid, _ in planted}
+    kept_original = {r["vec_id"] for r in remove_embedding_dups(e).select("vec_id").collect()}
+    assert kept == kept_original
