@@ -1431,3 +1431,95 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap filling / densification (B23/B26 composition)
+# --------------------------------------------------------------------------
+@register(
+    "q76_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+               date_trunc('day', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    actual AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY day
+    )
+    SELECT s.day, CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN actual a ON a.day = s.day
+    ORDER BY s.day
+    """,
+    doc="gap filling: a sequence()-generated day spine left-joined to the "
+    "per-day aggregate, empty days densified to 0. The spine generates "
+    "distributed via explode(sequence(min, max)) — no driver-side range "
+    "loop; the min/max bounds are a single tiny aggregate broadcast into "
+    "the join",
+    tags=("B23", "B26"),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day_ts")
+    ).select(F.col("day_ts").cast("date").alias("day"))
+    actual = (
+        o.select(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        spine.join(actual, "day", "left")
+        .select("day", F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile quantile bucketing (B15 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q77_ntile_deciles",
+    oracle="""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS lo,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hi
+    FROM (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    GROUP BY decile ORDER BY decile
+    """,
+    doc="NTILE decile bucketing of account balances (deterministic via the "
+    "custkey tiebreak) + per-bucket stats. NOTE the global ORDER BY window "
+    "is a single-partition sort — fine for ranked bucketing of aggregate-"
+    "sized data; at full scale use approx percentile cutpoints (q32's "
+    "sketch) + a broadcast range join instead",
+    tags=("B15",),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", "c_custkey")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(F.col("c_acctbal").cast(DEC)).cast(DEC).alias("lo"),
+            F.max(F.col("c_acctbal").cast(DEC)).cast(DEC).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -65,6 +65,7 @@ DUAL_DIALECT = [
     "q70_fuzzy_match",
     "q71_range_frame",
     "q72_filtered_agg",
+    "q77_ntile_deciles",
 ]
 
 
