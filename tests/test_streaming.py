@@ -349,3 +349,30 @@ def test_running_user_totals_stateful(spark, event_stream_dir):
     }
     assert last[1] == (5, 15.0)  # 1+2+4+6+2(dup)
     assert last[2] == (2, 8.0)
+
+
+def test_windowed_agg_to_parquet_file_sink(spark, event_stream_dir, tmp_path):
+    """S14 append mode + the exactly-once FILE sink: only watermark-finalized
+    windows are written to parquet. Data spans 00:00-00:20 with a 10-minute
+    watermark, so at availableNow completion the watermark sits at 00:10:10 —
+    the 00:00 and 00:05 windows are final and on disk; the 00:20 window is
+    still open and must NOT appear."""
+    out = str(tmp_path / "win-parquet")
+    df = windows.tumbling_counts(replay_events(spark, event_stream_dir), duration="5 minutes")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = {
+        (r["win_start"].minute, r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert back[(0, "view")] == (2, 4.0)
+    assert back[(0, "click")] == (2, 4.0)
+    assert back[(5, "view")] == (1, 4.0)
+    assert not any(minute == 20 for minute, _ in back), back  # window still open
