@@ -377,3 +377,24 @@ def test_remove_embedding_dups_drops_planted_copies(spark, sf_dir):
     assert not kept & {pid for pid, _ in planted}
     kept_original = {r["vec_id"] for r in remove_embedding_dups(e).select("vec_id").collect()}
     assert kept == kept_original
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """Sketch coverage (B30 companion): freqItems (Karp-Papadimitriou-
+    Shenker) must return a SUPERSET of the tokens whose true frequency
+    exceeds the support threshold — the one-pass, fixed-memory heavy-hitters
+    guarantee (false positives allowed, false negatives not)."""
+    from mrcond_spark.operators import text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    support = 0.01
+    total = toks.count()
+    true_heavy = {
+        r["token"]
+        for r in toks.groupBy("token").count().filter(F.col("count") > support * total).collect()
+    }
+    sketched = set(toks.freqItems(["token"], support=support).collect()[0][0])
+    assert true_heavy <= sketched, f"missed heavy hitters: {true_heavy - sketched}"
