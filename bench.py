@@ -167,10 +167,16 @@ def main() -> None:
     # multi-second stall windows — back-to-back runs land in the same window,
     # while passes separated by minutes decorrelate, so the min is a much
     # better estimate of the plan's true cost. Same total work either way.
+    # A soft wall-clock budget degrades gracefully to single-pass numbers if
+    # the host is storming, so the harness never outruns a caller's timeout.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_t0 = time.perf_counter()
     names = [n for n in sorted(queries) if n not in SKIP]
     timings: dict[str, float] = dict.fromkeys(names, float("inf"))
     for _pass in range(2):
         for name in names:
+            if _pass > 0 and time.perf_counter() - bench_t0 > budget_s:
+                break  # keep pass-1 numbers for the rest
             t0 = time.perf_counter()
             queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
