@@ -13,11 +13,13 @@ from .inspect import (
     explain_str,
     pushed_filters,
     read_schema_columns,
+    scale_report,
     shuffle_exchange_count,
     uses_sort_merge_join,
 )
 
 __all__ = [
+    "scale_report",
     "broadcast_join_count",
     "codegen_stage_count",
     "explain_str",

@@ -56,3 +56,25 @@ def codegen_stage_count(df: DataFrame) -> int:
     formatted pre-execution plan; the codegen explain mode reports them)."""
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", explain_str(df, mode="codegen"))
     return int(m.group(1)) if m else 0
+
+
+def scale_report(df: DataFrame) -> dict:
+    """One-call scale diagnostic for any DataFrame — the properties that
+    decide whether a plan survives a 100x scale-up, as a dict:
+
+    shuffles (cluster-wide data moves), broadcasts (dimension joins),
+    sort_merge_join (large-side joins present), pushed_filters (predicates
+    reaching the scans), scan_columns (pruning per scan), codegen_stages
+    (JVM-fused pipeline spans), cartesian (accidental product — almost
+    always a bug).
+    """
+    text = explain_str(df)
+    return {
+        "shuffles": shuffle_exchange_count(df),
+        "broadcasts": broadcast_join_count(df),
+        "sort_merge_join": "SortMergeJoin" in text,
+        "pushed_filters": pushed_filters(df),
+        "scan_columns": [sorted(c) for c in read_schema_columns(df)],
+        "codegen_stages": codegen_stage_count(df),
+        "cartesian": "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text,
+    }

@@ -128,3 +128,15 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
+
+
+def test_scale_report_shape(spark, sf_dir):
+    """scale_report gives a correct one-call diagnostic on a known plan."""
+    rep = plans.scale_report(QUERIES["q02_filter"].spark(spark, sf_dir))
+    assert rep["cartesian"] is False
+    assert any("l_returnflag" in f for f in rep["pushed_filters"])
+    assert rep["scan_columns"] and set(rep["scan_columns"][0]) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    }
+    rep3 = plans.scale_report(QUERIES["q03_join_chain"].spark(spark, sf_dir))
+    assert rep3["broadcasts"] >= 2
