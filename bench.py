@@ -131,11 +131,18 @@ def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         elapsed = time.perf_counter() - t0
-        n_windows = spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0]["c"]
+        if not finished:
+            q.stop()  # don't leave a live query writing into a dir we delete
+        # divide by events actually PROCESSED (sum of window counts in the
+        # complete-mode snapshot), not the nominal corpus size — a slow or
+        # partial run must not report inflated throughput
+        delivered = (
+            spark.sql(f"SELECT COALESCE(SUM(cnt), 0) AS c FROM {name}").collect()[0]["c"]
+        )
         spark.catalog.dropTempView(name)
-        return round(n_events / elapsed, 1) if elapsed > 0 and n_windows > 0 else 0.0
+        return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -49,6 +49,7 @@ def connected_components(
     labels = materialize_once(
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -81,6 +82,26 @@ def connected_components(
         label_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # silent non-convergence would hand wrong cluster representatives to
+        # dedup callers; with pointer jumping max_iter=N covers diameter 2^N,
+        # so hitting the cap means the caller sized it wrong — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} rounds"
+        )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def drop_non_representatives(
+    df: DataFrame, edges: DataFrame, id_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Shared dedup tail: cluster ``edges`` (id_a/id_b pairs), keep the
+    min-id representative per cluster, anti-join the rest out of ``df``."""
+    comp = connected_components(edges, src="id_a", dst="id_b", max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__drop_id")
+    )
+    return df.join(losers, df[id_col] == F.col("__drop_id"), "left_anti")

@@ -94,10 +94,14 @@ def shingle_udf(n: int = 3, distinct: bool = True):
     def sh(texts: pd.Series) -> pd.Series:
         import re
 
-        ws = re.compile(r"\s+")
+        # ASCII whitespace class + space-only strip: Python's \s and .strip()
+        # are Unicode-aware, but the JVM expression path (trim + Java \s) and
+        # the DuckDB oracles (trim + RE2 \s) are ASCII-only — the oracle
+        # contract requires matching THEIR tokenization exactly
+        ws = re.compile(r"[ \t\n\f\r]+")
         out = []
         for text in texts:
-            toks = ws.split((text or "").strip().lower())
+            toks = ws.split((text or "").strip(" ").lower())
             n_sh = max(len(toks) - n + 1, 1)
             grams = [" ".join(toks[i : i + n]) for i in range(n_sh)]
             if distinct:
@@ -443,18 +447,19 @@ def remove_near_dups(
 
     Returns ``df`` minus non-representative near-duplicates. Scale shape:
     candidate generation shuffles on LSH buckets (never all-pairs), the
-    verify join is |candidates|-sized, components iterate O(log cluster-
-    diameter) rounds on the (tiny) verified edge list, and the final drop is
-    one broadcast-able anti join keyed on ids.
+    verify stage shingles ONLY candidate-pair members (broadcast id filter
+    before the UDF, so its cost tracks |candidates| not |corpus|),
+    components iterate O(log cluster-diameter) rounds on the (tiny) verified
+    edge list, and the final drop is one broadcast-able anti join keyed on
+    ids.
     """
-    from .components import connected_components
+    from .components import drop_non_representatives
 
-    cand = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col)
-    edges = ngram_jaccard(cand, df, text_col=text_col, id_col=id_col).filter(
+    # tiny (id pairs), consumed twice below (member filter + verify join)
+    cand = materialize_once(minhash_lsh_pairs(df, text_col=text_col, id_col=id_col))
+    members = cand.select(F.col("id_a").alias("mid")).union(cand.select("id_b")).distinct()
+    docs_small = df.join(F.broadcast(members), F.col(id_col) == F.col("mid")).drop("mid")
+    edges = ngram_jaccard(cand, docs_small, text_col=text_col, id_col=id_col).filter(
         F.col("jaccard") >= min_jaccard
     )
-    comp = connected_components(edges, src="id_a", dst="id_b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("__drop_id")
-    )
-    return df.join(losers, df[id_col] == F.col("__drop_id"), "left_anti")
+    return drop_non_representatives(df, edges, id_col)

@@ -328,13 +328,9 @@ def remove_embedding_dups(
     cluster, drop the rest. Same scale shape: candidates shuffle on buckets,
     components iterate on the (tiny) verified edge list, the drop is one
     anti join."""
-    from .components import connected_components
+    from .components import drop_non_representatives
 
     pairs = embedding_near_dup_pairs(
         embeddings, threshold=threshold, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("__drop_id")
-    )
-    return embeddings.join(losers, embeddings[id_col] == F.col("__drop_id"), "left_anti")
+    return drop_non_representatives(embeddings, pairs, id_col)

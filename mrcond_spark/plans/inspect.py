@@ -68,13 +68,26 @@ def scale_report(df: DataFrame) -> dict:
     (JVM-fused pipeline spans), cartesian (accidental product — almost
     always a bug).
     """
+    # one formatted explain, parsed locally (re-running df.explain per helper
+    # would re-analyze the plan ~5x); codegen mode is the one extra pass
     text = explain_str(df)
+    pushed: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            pushed.extend(s.strip() for s in body.split(","))
+    scans = [
+        sorted({c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()})
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text)
+    ]
     return {
-        "shuffles": shuffle_exchange_count(df),
-        "broadcasts": broadcast_join_count(df),
+        "shuffles": len(
+            re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text)
+        ),
+        "broadcasts": text.count("BroadcastHashJoin"),
         "sort_merge_join": "SortMergeJoin" in text,
-        "pushed_filters": pushed_filters(df),
-        "scan_columns": [sorted(c) for c in read_schema_columns(df)],
+        "pushed_filters": pushed,
+        "scan_columns": scans,
         "codegen_stages": codegen_stage_count(df),
         "cartesian": "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text,
     }
