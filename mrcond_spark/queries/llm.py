@@ -166,8 +166,32 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q45_lang_id",
-    oracle=None,  # heuristic not SQL-expressible concisely; determinism tested in pytest
-    doc="marker-word language-ID vote vs the labeled lang column (E5)",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               len(list_intersect(toks, ['the','and','of','to','a'])) AS s_en,
+               len(list_intersect(toks, ['der','die','und','das','ist'])) AS s_de,
+               len(list_intersect(toks, ['el','la','de','que','los'])) AS s_es,
+               len(list_intersect(toks, ['le','la','et','les','des'])) AS s_fr
+        FROM t
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred,
+           COUNT(*) AS cnt
+    FROM s GROUP BY lang, pred ORDER BY lang, pred
+    """,
+    doc="marker-word language-ID vote vs the labeled lang column (E5); the "
+    "argmax + en>de>es>fr tie priority is mirrored exactly in the oracle's "
+    "CASE ordering",
     tags=("E5",),
 )
 def q45(spark: SparkSession, sf: str) -> DataFrame:
