@@ -1523,3 +1523,36 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# distribution window functions (B15 companion: percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+@register(
+    "q78_distribution_windows",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           CAST(FLOOR(10000 * PERCENT_RANK() OVER w) AS BIGINT) AS pr_bp,
+           CAST(FLOOR(10000 * CUME_DIST() OVER w) AS BIGINT) AS cd_bp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_nationkey, s_suppkey
+    """,
+    doc="distribution window functions: per-nation percent_rank / cume_dist "
+    "of supplier balances, in integer basis points (floor) so the ratio "
+    "arithmetic is float-order independent across engines. Partitioned by "
+    "the nation key — no global sort",
+    tags=("B15",),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.floor(10000 * F.percent_rank().over(w)).cast("bigint").alias("pr_bp"),
+            F.floor(10000 * F.cume_dist().over(w)).cast("bigint").alias("cd_bp"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )

@@ -66,6 +66,7 @@ DUAL_DIALECT = [
     "q71_range_frame",
     "q72_filtered_agg",
     "q77_ntile_deciles",
+    "q78_distribution_windows",
 ]
 
 
