@@ -1556,3 +1556,124 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("s_nationkey", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# multiset set operations (B20 companion: INTERSECT ALL / EXCEPT ALL)
+# --------------------------------------------------------------------------
+@register(
+    "q79_multiset_ops",
+    oracle="""
+    SELECT 'intersect_all' AS op, nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nk
+    UNION ALL
+    SELECT 'except_all', nk, CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nk
+    ORDER BY op, nk
+    """,
+    doc="multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving set ops — "
+    "cardinality min/difference per value, not membership). Spark plans both "
+    "as a single aggregate-join on the value, no row explosion",
+    tags=("B20",),
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nk")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nk", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nk")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nk", "n")
+    )
+    return ia.unionAll(ea).orderBy("op", "nk")
+
+
+# --------------------------------------------------------------------------
+# null grouping-key semantics (B11/B25 edge: NULL is one group)
+# --------------------------------------------------------------------------
+@register(
+    "q80_null_group_keys",
+    oracle="""
+    SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull_cust
+    FROM orders
+    GROUP BY prio
+    ORDER BY prio NULLS FIRST
+    """,
+    doc="NULL grouping keys collapse into ONE group in both engines "
+    "(SQL GROUP BY null-equality, unlike join-key null semantics); NULLIF "
+    "manufactures the nulls and the count(col) vs count(*) distinction "
+    "rides along",
+    tags=("B11", "B25"),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.select(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"), "o_custkey"
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("o_custkey").cast("bigint").alias("n_nonnull_cust"),
+        )
+        .orderBy(F.col("prio").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (B28 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q81_lateral_join",
+    oracle="""
+    SELECT r_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM region r,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    )
+    ORDER BY r_name, price DESC, o_orderkey
+    """,
+    doc="LATERAL correlated subquery: top-2 orders per region, expressed as "
+    "the SQL-standard lateral (Spark SQL and DuckDB both support it; Spark "
+    "decorrelates it into a ranked window join rather than re-executing the "
+    "subquery per outer row)",
+    tags=("B28", "B18"),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT r_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM region r,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                          JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        )
+        ORDER BY r_name, price DESC, o_orderkey
+        """
+    )

@@ -67,6 +67,9 @@ DUAL_DIALECT = [
     "q72_filtered_agg",
     "q77_ntile_deciles",
     "q78_distribution_windows",
+    "q79_multiset_ops",
+    "q80_null_group_keys",
+    "q81_lateral_join",
 ]
 
 
