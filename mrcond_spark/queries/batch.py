@@ -1677,3 +1677,39 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY r_name, price DESC, o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# forward fill / last-observation-carried-forward (B16/B25 composition)
+# --------------------------------------------------------------------------
+@register(
+    "q82_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(CASE WHEN value >= 35 THEN CAST(value AS DECIMAL(18,4)) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS filled
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="forward fill (LOCF): carry the last non-null observation forward "
+    "per key — last_value IGNORE NULLS over a running frame. The sensor-"
+    "table gap-repair idiom; one shuffle on the key, no self-join",
+    tags=("B16", "B25"),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    observed = F.when(F.col("value") >= 35, F.col("value").cast(DEC4))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.last(observed, ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "event_id")
+    )
