@@ -541,3 +541,39 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_survivors"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q83_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    doc="deterministic stratified sampling: fixed k per class via rank over "
+    "a seeded hash of the id — the training-data class-balancing idiom. "
+    "Unlike rand(), the hash order is reproducible across retries, "
+    "engines, and partitionings (which is why it can be oracle-checked at "
+    "all); one shuffle on the class key",
+    tags=("E5", "B31"),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
