@@ -72,7 +72,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the pinned query ids.
 
-    Returns (query_id, nbr_id, cos_r DECIMAL(10,4), rank). Ranking uses the
+    Returns (query_id, nbr_id, cos_r DOUBLE quantized to 4dp, rank). Ranking uses the
     ROUNDED cosine + nbr_id tiebreak so results are float-order independent.
     """
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
@@ -96,7 +96,7 @@ def cosine_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("cos_raw").cast("decimal(10,4)").cast("double").alias("cos_r"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -168,7 +168,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("cos_raw").cast("decimal(10,4)").cast("double").alias("cos_r"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -255,7 +255,7 @@ def ivf_ann_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.col("cos_raw").cast("decimal(10,4)").alias("cos_r"),
+            F.col("cos_raw").cast("decimal(10,4)").cast("double").alias("cos_r"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -311,7 +311,7 @@ def embedding_near_dup_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", cos_udf(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").alias("cos_r"))
+        .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").cast("double").alias("cos_r"))
     )
 
 

@@ -46,8 +46,75 @@ def register(
     return deco
 
 
+#: Driver-facing ordering. The verify driver hash-checks only the FIRST 50
+#: entries of ``queries()``, so the first 50 must contain one representative
+#: query for every SURVEY §2 operator (B1–B31 and E1–E7) — the LLM-tier
+#: operators especially (round-1 lesson: registration order starved them of
+#: any hard correctness signal). Redundant variants sort last; the builder's
+#: own oracle suite (tests/test_oracle.py) still checks every query.
+PRIORITY: tuple[str, ...] = (
+    # flagship first (also the entry() query)
+    "q10_agg_tpch_q1",        # B11 hash agg
+    # one representative per batch operator
+    "q01_scan_project",       # B1/B2
+    "q02_filter",             # B3
+    "q03_join_chain",         # B4
+    "q04_left_join",          # B5
+    "q07_full_outer",         # B5
+    "q05_semi_join",          # B6
+    "q06_anti_join",          # B7
+    "q08_cross_join",         # B8
+    "q09_theta_join",         # B9
+    "q31_asof_join",          # B10
+    "q11_count_distinct",     # B12
+    "q12_rollup",             # B13
+    "q28_having",             # B14
+    "q15_topk_per_group",     # B15
+    "q16_analytic_window",    # B16
+    "q17_topk",               # B17/B18
+    "q18_union",              # B19
+    "q19_intersect",          # B20
+    "q20_except",             # B20
+    "q27_distinct",           # B21
+    "q21_string_funcs",       # B22
+    "q22_date_funcs",         # B23
+    "q23_math_funcs",         # B24
+    "q24_conditional",        # B25
+    "q25_array_funcs",        # B26
+    "q26_json_funcs",         # B27
+    "q29_subquery",           # B28
+    "q30_cte",                # B29
+    "q32_approx_count_distinct",  # B30 (rows-only by design)
+    "q33_sample",             # B31 (rows-only by design)
+    # LLM-pipeline tier: every E1–E7 operator inside the window
+    "q40_exact_dedup",        # E1
+    "q41_cosine_topk",        # E3
+    "q42_top_tokens",         # E5
+    "q43_pandas_udf_hist",    # E7
+    "q44_quality_features",   # E5
+    "q45_lang_id",            # E5
+    "q46_fingerprint",        # E5
+    "q47_minhash_lsh_pairs",  # E2
+    "q48_simhash_pairs",      # E2
+    "q49_ann_lsh",            # E4
+    "q50_multimodal_features",  # E6
+    "q51_applyinpandas_topk",   # E7
+    "q52_udtf_tokens",        # E7
+    "q53_grouped_agg_udf",    # E7
+    "q54_embedding_near_dup",  # E2
+    "q55_ngram_jaccard",      # E2
+    "q74_dedup_clusters",     # E1 end-to-end
+    "q75_near_dup_removal",   # E1/E2 end-to-end
+    "q83_stratified_sample",  # B31 oracle-checked variant
+)
+
+
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
     from . import batch, llm, udf_surface  # noqa: F401
 
-    return dict(REGISTRY)
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"PRIORITY names unknown queries: {missing}")
+    rest = [n for n in REGISTRY if n not in PRIORITY]
+    return {n: REGISTRY[n] for n in (*PRIORITY, *rest)}

@@ -291,8 +291,8 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_revenue,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_revenue,
            CAST(MIN(l_shipdate) AS DATE) AS min_ship,
            CAST(MAX(l_shipdate) AS DATE) AS max_ship
     FROM lineitem
@@ -308,12 +308,15 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).cast("double").alias("sum_qty"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
             )
             .cast(DEC4)  # scale 4 is the exact product scale — lossless cast,
-            # so no engine-specific half-rounding can diverge
+            # so no engine-specific half-rounding can diverge; the final DOUBLE
+            # projection converts the SAME exact decimal in both engines
+            # (hash-stable repr — decimal trailing zeros are not)
+            .cast("double")
             .alias("sum_revenue"),
             F.min("l_shipdate").cast("date").alias("min_ship"),
             F.max("l_shipdate").cast("date").alias("max_ship"),
@@ -461,7 +464,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     FROM (
       SELECT o_custkey, o_orderkey,
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM orders
     ) WHERE rn <= 3
     ORDER BY o_custkey, rn, o_orderkey
@@ -478,7 +481,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.row_number().over(w).alias("rn"),
-            F.col("o_totalprice").cast(DEC).alias("price"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("price"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn", "o_orderkey")
@@ -493,9 +496,9 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT user_id, event_id,
            LAG(value) OVER w AS prev_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS mov_sum
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS mov_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id
@@ -512,7 +515,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             "event_id",
             F.lag("value").over(w).alias("prev_value"),
-            F.sum(F.col("value").cast(DEC4)).over(wf).cast(DEC4).alias("mov_sum"),
+            F.sum(F.col("value").cast(DEC4)).over(wf).cast(DEC4).cast("double").alias("mov_sum"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -524,7 +527,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q17_topk",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     doc="global top-k (Spark plans TakeOrderedAndProject: per-partition heaps, no full sort)",
@@ -535,7 +538,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").cast(DEC).cast("double").alias("price"))
     )
 
 
@@ -719,7 +722,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'mid'
                 ELSE 'high' END AS bucket,
            COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
-           CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE NULL END AS pos_bal
+           CAST(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE NULL END AS DOUBLE) AS pos_bal
     FROM customer
     ORDER BY c_custkey
     """,
@@ -735,7 +738,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("high")
         .alias("bucket"),
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
-        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast(DEC)).alias("pos_bal"),
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast(DEC)).cast("double").alias("pos_bal"),
     ).orderBy("c_custkey")
 
 
@@ -747,7 +750,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(i AS INT) AS pos,
-           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(10,4)) AS val,
+           CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(10,4)) AS DOUBLE) AS val,
            CAST(len(embedding) AS INT) AS n_dims
     FROM embeddings, (SELECT UNNEST(range(1, 9)) AS i)
     ORDER BY vec_id, pos
@@ -766,7 +769,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.col("elem").cast("double").cast("decimal(10,4)").alias("val"),
+            F.col("elem").cast("double").cast("decimal(10,4)").cast("double").alias("val"),
             "n_dims",
         )
         .orderBy("vec_id", "pos")
@@ -845,7 +848,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT n_name, COUNT(*) AS n_cust,
            CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
-           CAST(SUM(COALESCE(sum_price, 0)) AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(SUM(COALESCE(sum_price, 0)) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM cust_geo LEFT JOIN cust_orders ON c_custkey = o_custkey
     GROUP BY n_name
     ORDER BY n_name
@@ -868,7 +871,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_cust"),
             F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("bigint").alias("total_orders"),
-            F.sum(F.coalesce(F.col("sum_price"), F.lit(0))).cast(DEC).alias("total_price"),
+            F.sum(F.coalesce(F.col("sum_price"), F.lit(0))).cast(DEC).cast("double").alias("total_price"),
         )
         .orderBy("n_name")
     )
@@ -938,7 +941,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS day,
            CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY ROLLUP (day, hour)
     ORDER BY day NULLS FIRST, hour NULLS FIRST
@@ -958,7 +961,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         ev.rollup("day", "hour")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast(DEC4)).cast(DEC4).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC4).cast("double").alias("sum_value"),
         )
         .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
     )
@@ -1025,7 +1028,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
            MIN(ts) AS start_ts,
            MAX(ts) AS end_ts,
            CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
     """,
@@ -1048,7 +1051,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
             .cast("bigint")
             .alias("duration_sec"),
-            F.sum(F.col("value").cast(DEC4)).cast(DEC4).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC4).cast("double").alias("sum_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -1061,9 +1064,9 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     "q64_tpch_q5_shape",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
-                AS DECIMAL(28,8)) AS revenue
+                AS DECIMAL(28,8)) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1106,6 +1109,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("l_extendedprice").cast(DEC4) * (one - F.col("l_discount").cast(DEC4))
             )
             .cast("decimal(28,8)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "n_name")
@@ -1119,9 +1123,9 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     "q65_pivot",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_f,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_o,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_p
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_f,
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_o,
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_p
     FROM orders GROUP BY order_year ORDER BY order_year
     """,
     doc="PIVOT: revenue by year x order-status as direct conditional "
@@ -1138,6 +1142,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         return (
             F.sum(F.when(F.col("o_orderstatus") == status, F.col("price")))
             .cast("decimal(28,2)")
+            .cast("double")
             .alias(f"rev_{status.lower()}")
         )
 
@@ -1158,9 +1163,9 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_f,
-               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_o,
-               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS rev_p
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_f,
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_o,
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS rev_p
         FROM orders GROUP BY order_year
     )
     SELECT order_year, status, revenue FROM (
@@ -1336,10 +1341,10 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     "q71_range_frame",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,4)) AS rolling_1h
+           ) AS DECIMAL(18,4)) AS DOUBLE) AS rolling_1h
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -1359,7 +1364,7 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(
                 "SUM(dval) OVER (PARTITION BY user_id ORDER BY ts "
                 "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
-            ).cast(DEC4),
+            ).cast(DEC4).cast("double"),
         )
         .select("user_id", "event_id", "rolling_1h")
         .orderBy("user_id", "event_id")
@@ -1375,8 +1380,8 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O')
-                AS DECIMAL(28,2)) AS open_revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O')
+                AS DECIMAL(28,2)) AS DOUBLE) AS open_revenue
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     doc="FILTER-clause aggregation: several differently-predicated aggregates "
@@ -1395,6 +1400,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
                 F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(DEC))
             )
             .cast("decimal(28,2)")
+            .cast("double")
             .alias("open_revenue"),
         )
         .orderBy("o_orderpriority")
@@ -1493,8 +1499,8 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS lo,
-           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hi
+           CAST(CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS hi
     FROM (
         SELECT c_acctbal,
                NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
@@ -1518,8 +1524,8 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.min(F.col("c_acctbal").cast(DEC)).cast(DEC).alias("lo"),
-            F.max(F.col("c_acctbal").cast(DEC)).cast(DEC).alias("hi"),
+            F.min(F.col("c_acctbal").cast(DEC)).cast(DEC).cast("double").alias("lo"),
+            F.max(F.col("c_acctbal").cast(DEC)).cast(DEC).cast("double").alias("hi"),
         )
         .orderBy("decile")
     )
@@ -1640,7 +1646,7 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q81_lateral_join",
     oracle="""
-    SELECT r_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT r_name, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM region r,
     LATERAL (
         SELECT o_orderkey, o_totalprice
@@ -1664,7 +1670,7 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     register_views(spark, sf)
     return spark.sql(
         """
-        SELECT r_name, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        SELECT r_name, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM region r,
         LATERAL (
             SELECT o_orderkey, o_totalprice
@@ -1686,9 +1692,9 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     "q82_forward_fill",
     oracle="""
     SELECT user_id, event_id,
-           LAST_VALUE(CASE WHEN value >= 35 THEN CAST(value AS DECIMAL(18,4)) END IGNORE NULLS)
+           CAST(LAST_VALUE(CASE WHEN value >= 35 THEN CAST(value AS DECIMAL(18,4)) END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-               AS filled
+               AS DOUBLE) AS filled
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -1709,7 +1715,7 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.last(observed, ignorenulls=True).over(w).alias("filled"),
+            F.last(observed, ignorenulls=True).over(w).cast("double").alias("filled"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -65,7 +65,7 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id) AS rank
         FROM scored
     )
-    SELECT query_id, nbr_id, CAST(cos_raw AS DECIMAL(10,4)) AS cos_r, CAST(rank AS INT) AS rank
+    SELECT query_id, nbr_id, CAST(CAST(cos_raw AS DECIMAL(10,4)) AS DOUBLE) AS cos_r, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank
     """,
