@@ -1509,18 +1509,18 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY decile ORDER BY decile
     """,
     doc="NTILE decile bucketing of account balances (deterministic via the "
-    "custkey tiebreak) + per-bucket stats. NOTE the global ORDER BY window "
-    "is a single-partition sort — fine for ranked bucketing of aggregate-"
-    "sized data; at full scale use approx percentile cutpoints (q32's "
-    "sketch) + a broadcast range join instead",
+    "custkey tiebreak) + per-bucket stats. Uses operators/ntile.py's "
+    "distributed exact NTILE (range repartition + per-partition rank + "
+    "P-row offset collect) — bit-identical to the oracle's NTILE window "
+    "with NO single-partition sort anywhere in the plan",
     tags=("B15",),
 )
 def q77(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    from ..operators.ntile import global_ntile
+
+    c = load(spark, sf, "customer").select("c_acctbal", "c_custkey")
     return (
-        c.select("c_acctbal", "c_custkey")
-        .withColumn("decile", F.ntile(10).over(w))
+        global_ntile(c, 10, ["c_acctbal", "c_custkey"], out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n"),

@@ -398,3 +398,24 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     }
     sketched = set(toks.freqItems(["token"], support=support).collect()[0][0])
     assert true_heavy <= sketched, f"missed heavy hitters: {true_heavy - sketched}"
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """The distributed NTILE must be bit-identical to the built-in global
+    NTILE window for awkward sizes (n % k != 0, n < k, duplicate keys)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mrcond_spark.operators.ntile import global_ntile
+
+    for n, k in ((97, 10), (100, 7), (5, 10), (64, 8)):
+        df = spark.range(n).select(
+            (F.col("id") % 13).alias("v"), F.col("id").alias("tie")
+        )
+        expected = df.withColumn(
+            "bucket", F.ntile(k).over(Window.orderBy("v", "tie")).cast("int")
+        )
+        actual = global_ntile(df, k, ["v", "tie"], out_col="bucket", partitions=4)
+        assert sorted(map(tuple, actual.collect())) == sorted(
+            map(tuple, expected.collect())
+        ), f"mismatch at n={n} k={k}"

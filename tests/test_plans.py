@@ -96,6 +96,15 @@ def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in text
 
 
+def test_ntile_no_single_partition_window(spark, sf_dir):
+    """q77's decile bucketing must never plan a single-partition Window sort
+    (the round-1 scale-killer): the distributed NTILE keeps every exchange
+    hash- or range-partitioned."""
+    text = plans.explain_str(QUERIES["q77_ntile_deciles"].spark(spark, sf_dir))
+    assert "Exchange SinglePartition" not in text
+    assert "ntile(" not in text  # no built-in global-window NTILE anywhere
+
+
 def test_pivot_is_single_shuffle(spark, sf_dir):
     """q65's conditional-aggregation pivot: one hash exchange for the groupBy
     plus one range exchange for the ORDER BY — no (group, pivot-key) double
