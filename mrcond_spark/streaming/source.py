@@ -13,6 +13,7 @@ same schema, same downstream pipeline, deterministic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import Collection
 from .envelope import ENVELOPE_SCHEMA
@@ -33,6 +34,35 @@ def mongo_change_stream(spark: SparkSession, mongo_uri: str, coll: Collection) -
         .option("spark.mongodb.collection", coll.coll_name)
         .option("spark.mongodb.change.stream.publish.full.document.only", "false")
         .load()
+    )
+
+
+def raw_change_event_to_envelope(df: DataFrame, event_col: str = "event") -> DataFrame:
+    """Normalize RAW MongoDB change-stream documents (extended JSON, the wire
+    shape the v10 Spark connector consumes — see FIXTURES.md §1.2) into
+    ``ENVELOPE_SCHEMA``-typed columns.
+
+    Mirrors the connector's stringify-nested-into-StringType behavior: ``_id``
+    (resume token), ``documentKey`` and ``fullDocument`` stay JSON strings;
+    ``ns`` becomes the typed struct; ``clusterTime`` converts from the BSON
+    ``{"$timestamp": {"t": seconds, ...}}`` (or an ISO string) to TIMESTAMP.
+    Pure JVM expressions — usable inside a stream with no Python boundary.
+    """
+    ev = F.col(event_col)
+    cluster_secs = F.get_json_object(ev, "$.clusterTime.$timestamp.t")
+    return df.select(
+        F.get_json_object(ev, "$._id").alias("_id"),
+        F.get_json_object(ev, "$.operationType").alias("operationType"),
+        F.coalesce(
+            F.timestamp_seconds(cluster_secs.cast("bigint")),
+            F.get_json_object(ev, "$.clusterTime").cast("timestamp"),
+        ).alias("clusterTime"),
+        F.struct(
+            F.get_json_object(ev, "$.ns.db").alias("db"),
+            F.get_json_object(ev, "$.ns.coll").alias("coll"),
+        ).alias("ns"),
+        F.get_json_object(ev, "$.documentKey").alias("documentKey"),
+        F.get_json_object(ev, "$.fullDocument").alias("fullDocument"),
     )
 
 
