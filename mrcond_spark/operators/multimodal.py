@@ -2,9 +2,11 @@
 
 Images / audio / video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested; the actual media decode is stubbed
-(decode libs are not in this container) behind ``DecodeUnavailable`` or a
-deterministic fake so the pipeline shape can be exercised end-to-end.
+UDF signatures — is real and tested. Image decode is REAL for uncompressed
+netpbm (pure numpy, no media libs needed) and uses PIL for compressed formats
+when installed; only the no-decoder-for-format case raises
+``DecodeUnavailable``. Poison blobs tag an error column instead of failing
+the stage.
 
 100 TB rule: blobs stay OUT of row storage in production — the blob column
 carries an object-store path + byte-range, and ``mapInPandas`` workers fetch
@@ -57,12 +59,159 @@ FEATURE_SCHEMA = StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real decode path: media libraries are not installed."""
+    """Raised when no decoder can handle the payload's format."""
 
 
-def decode_image(data: bytes) -> "object":
-    """STUB — real implementation would decode via PIL/opencv."""
-    raise DecodeUnavailable("image decode requires PIL/opencv (not in this container)")
+def _decode_netpbm(data: bytes):
+    """Pure-numpy decoder for binary netpbm images (P5 grayscale / P6 RGB).
+
+    Real decode with zero media-library dependency — the formats are
+    uncompressed, so header parse + reshape IS the full decode. Returns
+    (height, width, channels) uint8 ndarray.
+    """
+    import numpy as np
+
+    if not data.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if data[:2] == b"P6" else 1
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines starting with '#' allowed between tokens)
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise DecodeUnavailable("16-bit netpbm not supported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=width * height * channels, offset=pos)
+    return raster.reshape(height, width, channels)
+
+
+def decode_image(data: bytes):
+    """Decode image bytes to an (H, W, C) uint8 numpy array.
+
+    Decode chain: native netpbm (always available — pure numpy), then PIL
+    for compressed formats if installed, else ``DecodeUnavailable``. The
+    chain makes the operator REAL in a no-media-libs container (netpbm) while
+    using the full decoder when the environment has one.
+    """
+    if not data:
+        raise DecodeUnavailable("empty payload")
+    arr = _decode_netpbm(data)
+    if arr is not None:
+        return arr
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise DecodeUnavailable(
+            f"no decoder for format (magic={data[:4]!r}); PIL not installed"
+        ) from e
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def decoded_image_features(assets: DataFrame) -> DataFrame:
+    """REAL decoded-pixel featurization over image assets via ``mapInPandas``:
+    width, height, channels, per-image pixel mean/std. Undecodable payloads
+    yield NULL dims and an error tag instead of failing the batch (at 100 TB
+    a poison blob must not kill the stage).
+
+    The decode chain is re-declared inside the closure — executors of an
+    unrelated driver process cannot import this package (cloudpickle
+    serializes nested functions by value).
+    """
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("pixel_mean", FloatType(), True),
+            StructField("pixel_std", FloatType(), True),
+            StructField("decode_error", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import pandas as _pd
+
+        def netpbm(data):
+            if not data.startswith((b"P5", b"P6")):
+                return None
+            channels = 3 if data[:2] == b"P6" else 1
+            tokens, pos = [], 2
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                if data[pos : pos + 1] == b"#":
+                    while pos < len(data) and data[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            pos += 1
+            w, h, maxval = tokens
+            if maxval > 255:
+                raise ValueError("16-bit netpbm not supported")
+            return np.frombuffer(data, np.uint8, w * h * channels, pos).reshape(h, w, channels)
+
+        def decode(data):
+            arr = netpbm(data) if data else None
+            if arr is not None:
+                return arr
+            try:
+                from PIL import Image  # type: ignore[import-not-found]
+            except ImportError:
+                raise ValueError("undecodable: no PIL") from None
+            with Image.open(io.BytesIO(data)) as im:
+                return np.asarray(im.convert("RGB"))
+
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                try:
+                    arr = decode(data)
+                    rows.append(
+                        (
+                            aid,
+                            int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            int(arr.shape[2]),
+                            float(arr.mean()),
+                            float(arr.std()),
+                            None,
+                        )
+                    )
+                except Exception as e:
+                    rows.append((aid, None, None, None, None, None, str(e)[:80]))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "pixel_mean", "pixel_std", "decode_error",
+                ],
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(run, schema=out_schema)
 
 
 def deterministic_fake_feature(data: bytes | None, dim: int = 8) -> list[float]:
