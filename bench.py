@@ -206,13 +206,15 @@ def main() -> None:
                 "metric": "declared_corpus_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "total_wall_s": total,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": CPUS,
                 "cdc_events_per_sec": cdc_eps,
                 "windowed_stream_events_per_sec": win_eps,
+                # LAST on purpose: round artifacts keep only the tail of this
+                # line, and this is the one-number round-over-round compare
+                "total_wall_s": total,
             }
         )
     )

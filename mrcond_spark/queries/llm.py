@@ -577,3 +577,83 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E5+ — sequence packing (training-batch assembly) and document chunking
+# --------------------------------------------------------------------------
+@register(
+    "q84_sequence_packing",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id % 64 AS bucket, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT bucket, doc_id, n_chars, rn,
+               n_chars AS fill, CAST(1 AS BIGINT) AS bin_seq
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.bucket, d.doc_id, d.n_chars, d.rn,
+               CASE WHEN p.fill + d.n_chars > 2000 THEN d.n_chars
+                    ELSE p.fill + d.n_chars END,
+               CASE WHEN p.fill + d.n_chars > 2000 THEN p.bin_seq + 1
+                    ELSE p.bin_seq END
+        FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT bucket, doc_id, bin_seq, n_chars
+    FROM pack
+    ORDER BY bucket, doc_id
+    """,
+    doc="sequence packing (training-batch assembly): bucketed deterministic "
+    "next-fit of docs into 2000-char bins via one applyInPandas per bucket "
+    "(operators/packing.py — buckets are the parallelism dial, one shuffle). "
+    "The next-fit recurrence is a running-sum-with-reset: not a SQL window, "
+    "but exactly a recursive CTE, which is how the oracle states it",
+    tags=("E5", "E7"),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import pack_next_fit
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    return pack_next_fit(d, capacity=2000, size_col="n_chars", n_buckets=64).orderBy(
+        "bucket", "doc_id"
+    )
+
+
+@register(
+    "q85_doc_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substr(text, 1 + i * 150, 200) AS chunk,
+           CAST(length(substr(text, 1 + i * 150, 200)) AS INT) AS chunk_len
+    FROM documents,
+    LATERAL (SELECT UNNEST(range(0, CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i)
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="overlapping document chunking (RAG/window-split idiom): stride-150 "
+    "windows of 200 chars via explode(sequence) + substring — pure JVM "
+    "row expansion, no shuffle except the final ORDER BY; chunk count "
+    "derives from the doc's own length so short docs stay single-chunk",
+    tags=("E5", "B26"),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(150.0)).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.expr("substring(text, 1 + i * 150, 200)").alias("chunk"),
+            F.length(F.expr("substring(text, 1 + i * 150, 200)")).cast("int").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -477,3 +477,27 @@ def test_global_ntile_matches_window_ntile(spark):
         assert sorted(map(tuple, actual.collect())) == sorted(
             map(tuple, expected.collect())
         ), f"mismatch at n={n} k={k}"
+
+
+def test_pack_next_fit_invariants(spark):
+    """Sequence packing: every doc appears exactly once, bins never exceed
+    capacity (except a singleton oversized doc), bin_seq is dense per bucket,
+    and the assignment is deterministic."""
+    from mrcond_spark.operators.packing import pack_next_fit
+
+    rows = [(i, 30 + (i * 37) % 400) for i in range(300)] + [(1000, 5000)]  # one oversized
+    df = spark.createDataFrame(rows, "doc_id LONG, n_chars LONG")
+    out = pack_next_fit(df, capacity=512, n_buckets=8).collect()
+
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    fills = {}
+    for r in out:
+        fills.setdefault((r["bucket"], r["bin_seq"]), []).append(r["n_chars"])
+    for (b, s), sizes in fills.items():
+        assert sum(sizes) <= 512 or len(sizes) == 1, f"overfull bin {(b, s)}: {sizes}"
+    for b in {r["bucket"] for r in out}:
+        seqs = sorted({r["bin_seq"] for r in out if r["bucket"] == b})
+        assert seqs == list(range(1, len(seqs) + 1)), f"bucket {b} bins not dense: {seqs}"
+
+    out2 = pack_next_fit(df, capacity=512, n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
