@@ -68,3 +68,33 @@ def test_rows_only_runs(name, spark, sf_dir):
     df = q.spark(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_decimal_output_in_oracle_queries(spark, sf_dir):
+    """Regression guard for the round-1 systemic failure: DECIMAL output
+    columns hash differently across engines purely from trailing-zero
+    rendering. Decimal arithmetic stays INTERNAL; every oracle-checked
+    query's final schema must be decimal-free (double/bigint instead)."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = []
+    for name in ORACLE_QUERIES:
+        schema = QUERIES[name].spark(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                offenders.append(f"{name}.{f.name}")
+    assert not offenders, f"decimal output columns (hash-unstable): {offenders}"
+
+
+def test_driver_window_covers_every_operator():
+    """The verify driver hash-checks only the FIRST 50 registered queries
+    (round-1 lesson: the LLM tier sat past the window and got no hard
+    correctness signal). Every declared operator tag must have at least one
+    representative inside the window."""
+    from mrcond_spark.queries import PRIORITY
+
+    names = list(QUERIES)
+    assert names[: len(PRIORITY)] == list(PRIORITY), "priority order not applied"
+    all_tags = {t for q in QUERIES.values() for t in q.tags}
+    window_tags = {t for n in names[:50] for t in QUERIES[n].tags}
+    assert all_tags <= window_tags, f"operators outside the window: {all_tags - window_tags}"
