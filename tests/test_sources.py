@@ -72,3 +72,13 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar format the engine reads/writes natively
+    (vectorized reader + pushdown, same as parquet)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id LONG, v STRING")
+    path = str(tmp_path / "t.orc")
+    write_table(df, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc").filter("id >= 2")
+    assert sorted(tuple(r) for r in back.collect()) == [(2, "b"), (3, "c")]
