@@ -5,25 +5,33 @@ single-partition Window: one reducer sorts the entire table. That is the one
 scale-killer the round-1 audit flagged. This operator computes the IDENTICAL
 bucket assignment with every data-sized stage distributed:
 
-1. ``repartitionByRange`` on the order keys — P disjoint, ordered ranges
-   (RangePartitioner's boundary sampling is seeded per-partition, so the
-   partitioning is deterministic across the two jobs below);
-2. per-partition local ``row_number`` — a Window partitioned by the
-   materialized ``spark_partition_id``, so each window group is exactly one
-   range partition and sorts locally;
-3. collect the P per-partition counts (P rows — bounded by the partition
-   count, never by the data) and fold them into cumulative offsets;
-4. ``global_rank = offset[pid] + local_row_number``, then the closed-form
+1. one sketch job collects ``P-1`` approx-percentile cutpoints of the first
+   order column to the driver (bounded: P values, never data-sized) and
+   embeds them as LITERALS in the downstream plan — so every later job
+   buckets rows identically BY CONSTRUCTION (an earlier revision derived
+   buckets from ``repartitionByRange`` + ``spark_partition_id``; range
+   boundary sampling proved non-deterministic across the offset job and the
+   final job at sf0.1, silently misaligning offsets — literals cannot drift);
+2. bucket id = number of cutpoints below the value (a codegen'd comparison
+   chain, monotone in the order column — rows with equal values share a
+   bucket, so the within-bucket tiebreak columns complete the total order);
+3. per-bucket local ``row_number`` (Window partitioned by the
+   high-cardinality-free but bounded-count bucket id), per-bucket counts
+   collected (P rows) and folded into cumulative offsets;
+4. ``global_rank = offset[bucket] + local_row_number``, then the closed-form
    SQL NTILE split: with n rows and k buckets, the first ``n % k`` buckets
    hold ``n div k + 1`` rows and the rest ``n div k``.
 
-100 TB posture: two shuffles of the projected key columns (range + pid hash),
-one P-row driver collect, no single-partition exchange anywhere. The input
-lineage is computed twice (counts job + final job) — for wide inputs project
-down to the order keys first, as q77 does.
+Exactness does NOT depend on the sketch's accuracy — any deterministic
+cutpoints yield correct ranks; accuracy only balances bucket sizes (skew in
+the order column degrades balance, not correctness). 100 TB posture: one
+sketch pass, one shuffle on the bucket id, one P-row collect, no
+single-partition exchange anywhere.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,19 +50,37 @@ def global_ntile(
     key, or ties land in nondeterministic buckets)."""
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(P, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    key = order_cols[0]
 
-    counts = local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    # 1. driver-side cutpoints (P-1 values; deduped — skewed keys collapse
+    # buckets, which costs balance, not correctness)
+    fractions = [i / P for i in range(1, P)]
+    cuts_row = df.agg(
+        F.percentile_approx(key, fractions, 10_000).alias("cuts")
+    ).collect()[0]["cuts"]
+    cuts = sorted(set(c for c in (cuts_row or []) if c is not None))
+
+    # 2. literal comparison chain: bucket = #cutpoints strictly below value
+    if cuts:
+        pred = reduce(
+            lambda a, b: a + b,
+            [(F.col(key) > F.lit(c)).cast("int") for c in cuts],
+        )
+    else:
+        pred = F.lit(0)
+    keyed = df.withColumn("__bk", pred)
+
+    # 3. local rank within bucket + bucket counts -> cumulative offsets
+    w = Window.partitionBy("__bk").orderBy(*order_cols)
+    local = keyed.withColumn("__lrn", F.row_number().over(w))
+    counts = local.groupBy("__bk").agg(F.count("*").alias("cnt")).collect()
     offsets: dict[int, int] = {}
     total = 0
-    for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = total
+    for row in sorted(counts, key=lambda r: r["__bk"]):
+        offsets[row["__bk"]] = total
         total += row["cnt"]
 
+    # 4. closed-form NTILE split over the exact global rank
     n, k = total, n_buckets
     big = n % k  # first `big` buckets get one extra row
     size_big = n // k + 1
@@ -62,9 +88,9 @@ def global_ntile(
 
     if offsets:
         omap = F.create_map(
-            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+            *[F.lit(x) for bk, off in offsets.items() for x in (bk, off)]
         )
-        rank = F.coalesce(F.element_at(omap, F.col("__pid")), F.lit(0)) + F.col("__lrn")
+        rank = F.coalesce(F.element_at(omap, F.col("__bk")), F.lit(0)) + F.col("__lrn")
     else:
         rank = F.col("__lrn")
     bucket = (
@@ -72,4 +98,4 @@ def global_ntile(
         .otherwise(F.lit(big) + F.ceil((rank - big * size_big) / F.lit(size_small)))
         .cast("int")
     )
-    return local.withColumn(out_col, bucket).drop("__pid", "__lrn")
+    return local.withColumn(out_col, bucket).drop("__bk", "__lrn")

@@ -657,3 +657,72 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "q86_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents WHERE lang = 'en'
+    ),
+    toks_clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks_clean GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks_clean GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks_clean),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY round(score, 6) DESC, token
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, CAST(round(score, 4) AS DOUBLE) AS score_r, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3 AND doc_id % 10 = 0
+    ORDER BY doc_id, rank
+    """,
+    doc="TF-IDF top-3 terms per English doc (smoothed idf = ln((N+1)/(df+1))+1). "
+    "Corpus stats (df, N) come from ALL en docs; output restricted to "
+    "doc_id%10=0 to keep the checked set small. Ranking on round(score,6) + "
+    "token tiebreak makes the float arithmetic engine-order independent "
+    "(same discipline as the cosine queries). Shuffles: one on (doc,token), "
+    "one on token; N and the df table stay relation-sized — no driver state",
+    tags=("E5",),
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") % 10 == 0))
+        .select(
+            "doc_id",
+            "token",
+            F.round("score", 4).alias("score_r"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )

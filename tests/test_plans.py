@@ -121,6 +121,7 @@ _NONEQUI_OK = {
     "q08_cross_join",  # B8 cartesian cardinality, 5x25 rows
     "q09_theta_join",  # B9 non-equi predicate join
     "q41_cosine_topk",  # pinned-query broadcast crossJoin (|Q| driver-bounded)
+    "q86_tfidf_terms",  # 1-row corpus-size scalar broadcast-crossed into tf
 }
 
 
