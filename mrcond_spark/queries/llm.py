@@ -726,3 +726,58 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "q87_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               concat(substr(text, 1, 40),
+                      ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+                      ' or tel +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ) AS line
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+[0-9][0-9-]{6,}', '<PHONE>', 'g'
+           ) AS redacted,
+           CAST(len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(line, '\\+[0-9][0-9-]{6,}')) AS INT) AS n_phones
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing (training-data hygiene): deterministic contact strings "
+    "are synthesized onto a doc subset, then email/phone patterns are "
+    "redacted and counted. Differential check that Java-regex (Spark) and "
+    "RE2-ish (DuckDB) agree on the exact patterns a redaction pipeline "
+    "ships. Pure JVM regexp_replace/regexp_count — row-local, no shuffle "
+    "beyond the final ORDER BY",
+    tags=("E5", "B22"),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9][0-9-]{6,}"
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    line = F.concat(
+        F.expr("substring(text, 1, 40)"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.lit(" or tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        d.select("doc_id", line.alias("line"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("line", email, "<EMAIL>"), phone, "<PHONE>"
+            ).alias("redacted"),
+            F.regexp_count("line", F.lit(email)).cast("int").alias("n_emails"),
+            F.regexp_count("line", F.lit(phone)).cast("int").alias("n_phones"),
+        )
+        .orderBy("doc_id")
+    )
