@@ -1,0 +1,62 @@
+"""Simulate the driver: plain SparkSession, import __spark_entry__, smoke entry(),
+run every queries() entry at sf0.01, compare each oracle_sql() via DuckDB."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+qs, oracles = E.queries(), E.oracle_sql()
+print(f"queries: {len(qs)}, oracles: {len(oracles)}")
+assert set(oracles) <= set(qs)
+
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+import datetime, decimal, math
+def canon(v):
+    if v is None: return ("null",)
+    if isinstance(v, bool): return ("b", v)
+    if isinstance(v, (int, decimal.Decimal)): return ("n", decimal.Decimal(v))
+    if isinstance(v, float): return ("nan",) if math.isnan(v) else ("f", v)
+    if isinstance(v, datetime.datetime): return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date): return ("d", v.isoformat())
+    return ("s", str(v))
+
+fails = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name in oracles:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok_cols = sorted(sdf.columns) == sorted(dcols)
+            order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            cs = sorted(tuple(canon(r[i]) for i in order) for r in srows)
+            cd = sorted(tuple(canon(r[i]) for i in dorder) for r in drows)
+            ok = ok_cols and cs == cd
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            if not ok: fails.append(name)
+        else:
+            print(f"OK~ {name}: {len(srows)} rows rows-only ({time.time()-t0:.1f}s)")
+    except Exception as e:
+        print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}")
+        fails.append(name)
+print("RESULT:", "ALL GREEN" if not fails else f"FAILURES: {fails}")
