@@ -781,3 +781,55 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q88_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks,
+        LATERAL (SELECT UNNEST(range(1, CAST(greatest(len(t) - 1, 2) AS BIGINT))) AS i)
+    ),
+    bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM grams WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="benchmark decontamination: flag corpus docs sharing any word 3-gram "
+    "with a held-out benchmark set (docs with id%97=0 stand in for the "
+    "benchmark). Shingles via the Arrow-batched shingler (identical "
+    "semantics to the SQL token-slice — see dedup.shingle_udf docstring); "
+    "the benchmark gram set BROADCASTS (real benchmark suites are tiny next "
+    "to a training corpus), so the corpus side never shuffles for the join "
+    "— the decisive property at 100 TB",
+    tags=("E2", "E5"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    grams = d.select(
+        "doc_id", F.explode(dedup.shingle_udf(3)(F.col("text"))).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
