@@ -405,3 +405,43 @@ def test_stream_stream_left_outer_join(spark, event_stream_dir):
     for r in unmatched:
         assert r["view_value"] is not None
     assert {r["view_value"] for r in unmatched} <= {4.0, 6.0}
+
+
+def test_raw_capture_replay_through_pipeline(spark, tmp_path):
+    """S1→S2→S3 integration over RAW change-stream documents: replay the
+    wire-shape capture (extended JSON, the form the connector consumes)
+    through raw_change_event_to_envelope into the publish pipeline, and
+    assert the sink sees the same ordered fullDocument stream plus the
+    drop-terminal contract — the closest no-mongod analog of the reference's
+    live e2e."""
+    import shutil
+    import uuid as _uuid
+
+    from mrcond_spark.streaming.pipeline import start_cdc_query
+    from mrcond_spark.streaming.source import raw_change_event_to_envelope
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "change_events_v10.jsonl")
+    events_dir = str(tmp_path / "raw-events")
+    os.makedirs(events_dir)
+    shutil.copy(fixture, os.path.join(events_dir, "b0.jsonl"))
+
+    name = f"raw-{_uuid.uuid4().hex[:8]}"
+    pub = MemoryPublisher.named(name)
+    raw = spark.readStream.format("text").load(events_dir)
+    cq = start_cdc_query(
+        raw_change_event_to_envelope(raw, event_col="value"),
+        pub,
+        name,
+        str(tmp_path / "raw-ckpt"),
+        available_now=True,
+    )
+    cq.query.awaitTermination(120)
+
+    payloads = [json.loads(p) for p in pub.messages[name]]
+    assert [p["operationType"] for p in payloads] == ["insert", "insert", "delete", "drop"]
+    docs = [json.loads(p["fullDocument"]) for p in payloads if p.get("fullDocument")]
+    assert [d["name"] for d in docs] == ["Alice", "Bob"]
+    assert payloads[0]["ns"] == {"db": "appdb", "coll": "people"}
+    # the drop event must have flagged the query terminal (R7 clean stop)
+    assert cq.terminal.is_set()
+    MemoryPublisher.reset(name)
