@@ -47,7 +47,13 @@ def global_ntile(
 ) -> DataFrame:
     """Append ``out_col`` = NTILE(n_buckets) over the global order of
     ``order_cols`` (which must be a total order — include a unique tiebreak
-    key, or ties land in nondeterministic buckets)."""
+    key, or ties land in nondeterministic buckets).
+
+    Skew note: parallelism comes from cutpoints over ``order_cols[0]``, so a
+    (near-)constant first column degenerates to few buckets — correct but
+    serial, exactly like the value distribution itself. Keys with at least
+    ~P distinct values spread evenly; heavier skew costs balance only.
+    """
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
     key = order_cols[0]
