@@ -46,9 +46,19 @@ def uses_sort_merge_join(df: DataFrame) -> bool:
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (lower = fewer cluster-wide data moves)."""
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-                          explain_str(df)))
+    """Number of shuffle exchanges (lower = fewer cluster-wide data moves).
+
+    Counted from the SIMPLE explain mode: formatted mode prints bare
+    ``(4) Exchange`` nodes with the partitioning in a detail section, so a
+    pattern anchored on ``Exchange hashpartitioning`` silently returned 0
+    there (and made shuffle-budget assertions vacuous). Simple mode inlines
+    the arguments; BroadcastExchange never matches — broadcasts are not
+    shuffles.
+    """
+    return len(re.findall(
+        r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        explain_str(df, mode="simple"),
+    ))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
