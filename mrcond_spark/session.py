@@ -50,12 +50,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- scan tuning: 128 MiB splits is the sweet spot for object stores ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # unfiltered MIN/MAX/COUNT aggregates answer from parquet footer
-        # metadata instead of scanning data pages (e.g. the gap-fill bounds
-        # scan) — at 100 TB that's the difference between reading footers
-        # and reading the table; Spark falls back automatically where the
-        # type/filter combination is unsupported
-        .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- quieter driver ---
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
