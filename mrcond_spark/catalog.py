@@ -45,6 +45,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The testdata stores naive timestamps (isAdjustedToUTC=false). Read them
+    # as TIMESTAMP_LTZ (identical values under the UTC session zone the engine
+    # pins) rather than TIMESTAMP_NTZ so epoch functions (unix_micros etc.)
+    # work. Set here, not only in the session factory, because the driver
+    # calls queries() with its own plain SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         from pyspark.sql import functions as F
 

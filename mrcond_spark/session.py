@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- determinism vs the DuckDB oracle ---
         .config("spark.sql.session.timeZone", "UTC")
+        # Testdata parquet stores naive timestamps (isAdjustedToUTC=false).
+        # Read them as TIMESTAMP_LTZ under the UTC session zone, not
+        # TIMESTAMP_NTZ: values are identical, but LTZ keeps unix_micros()
+        # and the rest of the epoch-function surface usable.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- scan tuning: 128 MiB splits is the sweet spot for object stores ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- quieter driver ---
