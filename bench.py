@@ -191,6 +191,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver records only the LAST ~2000 chars of stdout and json-parses
+    # the final line. 82 full query names blow that budget (round-2 artifact:
+    # parsed=null, line truncated mid-key). So: full-name breakdown goes to
+    # stderr for humans; stdout carries exactly ONE compact line (short qNN
+    # keys, 2-decimal secs, ~1.4 KB) that always survives the tail window.
+    print(json.dumps({"queries_full": timings}), file=sys.stderr)
+    compact = {n.split("_", 1)[0]: round(v, 2) for n, v in timings.items()}
     # Streaming throughput: the first replay pays one-time stream-planning +
     # state-store + Python-worker costs that a long-running CDC daemon never
     # re-pays, so warm with a small replay and report the best of N timed
@@ -206,7 +213,7 @@ def main() -> None:
                 "metric": "declared_corpus_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": compact,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": CPUS,

@@ -938,17 +938,21 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q59_time_rollup",
     oracle="""
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour,
+    SELECT COALESCE(CAST(ts AS DATE), DATE '1900-01-01') AS day,
+           CAST(COALESCE(EXTRACT(HOUR FROM ts), -1) AS INT) AS hour,
            COUNT(*) AS cnt,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY ROLLUP (day, hour)
-    ORDER BY day NULLS FIRST, hour NULLS FIRST
+    GROUP BY ROLLUP (CAST(ts AS DATE), EXTRACT(HOUR FROM ts))
+    ORDER BY day, hour
     """,
     doc="continuous-aggregate-style rollup: hourly buckets, daily subtotals, "
     "and a grand total in ONE aggregation pass (rollup = partial-agg reuse "
-    "across resolutions, the hypertable pattern)",
+    "across resolutions, the hypertable pattern). Subtotal rows carry "
+    "sentinel keys (1900-01-01 / -1) instead of NULLs: a nullable-int output "
+    "column round-trips through pandas as float64+NaN, which hash-diverges "
+    "from Spark's int+None under the driver's canonicalization (the exact "
+    "failure q53 hit in round 2 via HUGEINT)",
     tags=("B13", "B23"),
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
@@ -963,7 +967,13 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast(DEC4)).cast(DEC4).cast("double").alias("sum_value"),
         )
-        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+        .select(
+            F.coalesce("day", F.lit("1900-01-01").cast("date")).alias("day"),
+            F.coalesce("hour", F.lit(-1)).cast("int").alias("hour"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("day", "hour")
     )
 
 

@@ -301,17 +301,36 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q54_embedding_near_dup",
-    oracle=None,  # LSH-candidate-based (approximate); recall tested in pytest
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_r
+    FROM embeddings WHERE vec_id % 50 = 0
+    ORDER BY id_a
+    """,
     doc="embedding-cosine near-duplicate pairs via LSH candidates + exact "
-    "verification (E2/E4 hybrid dedup tier)",
+    "verification (E2/E4 hybrid dedup tier). Duplicates are planted from the "
+    "input itself (every 50th vector re-tagged id+1e6) and the output keeps "
+    "only planted pairs: LSH recall on EXACT duplicates is deterministic "
+    "(identical vector -> identical signature -> same bucket in every table), "
+    "so this subset is hash-oracle-checkable while the full approximate "
+    "output is not (general recall stays pytest-verified, "
+    "tests/test_operators.py). Round-2 shape (bare corpus, no oracle) "
+    "legitimately returned 0 pairs on independent synthetic vectors — no "
+    "driver signal at all.",
     tags=("E2", "E4"),
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    # threshold targets true near-duplicates; on the synthetic (independent)
-    # vectors this legitimately yields ~0 pairs — planted-duplicate recall is
-    # tested in tests/test_operators.py
-    return similarity.embedding_near_dup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.embedding_near_dup_pairs(e.unionByName(planted), threshold=0.95)
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b", "cos_r")
+        .orderBy("id_a")
+    )
 
 
 @register(

@@ -93,7 +93,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     "q53_grouped_agg_udf",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     ORDER BY event_type
