@@ -99,9 +99,21 @@ def doc_fingerprint(col: Column, window: int = 4) -> Column:
     return doc_fingerprint_from_tokens(tokens(col), window)
 
 
-def doc_fingerprint_from_tokens(tok_col: Column, window: int = 4) -> Column:
+def doc_fingerprint_from_tokens(
+    tok_col: Column, window: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """``hash_fn="xxhash64"`` is the production default (fastest JVM path);
+    ``hash_fn="md5"`` derives the 60-bit hash from md5's first 15 hex chars —
+    bit-identical computable in other engines (DuckDB:
+    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), which is what makes the
+    fingerprint cross-engine hash-checkable."""
+    if hash_fn == "md5":
+        def shingle_hash(s: Column) -> Column:
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        shingle_hash = F.xxhash64
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tok_col) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok_col, i + 1, window))),
+        lambda i: shingle_hash(F.concat_ws(" ", F.slice(tok_col, i + 1, window))),
     )
     return F.array_min(shingle_hashes)

@@ -206,8 +206,26 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q46_fingerprint",
-    oracle=None,  # xxhash64-specific; stability tested in pytest
-    doc="winnowing-style rolling-hash document fingerprint (E5)",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+               range(0, greatest(len(toks) - 4, 0) + 1),
+               i -> CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+4], ' ')), 1, 15))
+                         AS BIGINT)
+           )) AS fp
+    FROM toked ORDER BY doc_id
+    """,
+    doc="winnowing-style rolling-hash document fingerprint (E5): min over "
+    "4-token-shingle hashes. Declared with the md5-derived 60-bit hash so "
+    "the exact fingerprint is computable in the DuckDB oracle (round-2 shape "
+    "used xxhash64 = engine-specific = rows-only check); the xxhash64 fast "
+    "path stays the operator default and is stability-tested in pytest",
     tags=("E5",),
 )
 def q46(spark: SparkSession, sf: str) -> DataFrame:
@@ -217,7 +235,8 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     # aliases materialized (avoids O(len^2) re-tokenization per shingle)
     toked = d.select("doc_id", text.tokens(F.col("text")).alias("toks"))
     return toked.select(
-        "doc_id", text.doc_fingerprint_from_tokens(F.col("toks")).alias("fp")
+        "doc_id",
+        text.doc_fingerprint_from_tokens(F.col("toks"), hash_fn="md5").alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -226,13 +245,30 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q47_minhash_lsh_pairs",
-    oracle=None,  # approximate; planted-duplicate recall asserted in pytest
-    doc="MinHash-LSH candidate near-duplicate doc pairs (E2)",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id % 25 = 0
+    ORDER BY id_a
+    """,
+    doc="MinHash-LSH candidate near-duplicate doc pairs (E2). Exact "
+    "duplicates are planted from the corpus itself (every 25th doc re-tagged "
+    "id+1e6); identical text -> identical shingle set -> identical banded "
+    "MinHash signature, so every planted pair is a guaranteed LSH candidate "
+    "and the planted subset is hash-oracle-checkable (round-2 shape was "
+    "rows-only). General banding recall stays pytest-verified.",
     tags=("E2",),
 )
 def q47(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(d).orderBy("id_a", "id_b")
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup.minhash_lsh_pairs(d.unionByName(planted))
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
 
 
 @register(
@@ -254,13 +290,30 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q48_simhash_pairs",
-    oracle=None,
-    doc="SimHash-bucket near-duplicate doc pairs (E2)",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id % 25 = 0
+    ORDER BY id_a
+    """,
+    doc="SimHash-bucket near-duplicate doc pairs (E2). Planted exact "
+    "duplicates (every 25th doc re-tagged id+1e6) hash to the identical "
+    "64-bit fingerprint, so the planted pair subset is deterministic and "
+    "hash-oracle-checkable (round-2 shape was rows-only); natural "
+    "hamming<=3 pairs are covered by q62 + the pytest brute-force "
+    "equivalence test.",
     tags=("E2",),
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return dedup.simhash_pairs(d).orderBy("id_a", "id_b")
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup.simhash_pairs(d.unionByName(planted))
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
 
 
 @register(
@@ -851,4 +904,123 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q89_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq, t
+        FROM toks WHERE len(t) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+        FROM base, LATERAL (SELECT UNNEST(range(1, n_tokens)) AS i)
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    gm AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot FROM gc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(10000.0 * b.n_uniq / b.n_tokens) AS BIGINT) AS uniq_bp,
+           CAST(FLOOR(10000.0 * gm.max_c / gm.tot) AS BIGINT) AS top_bigram_bp
+    FROM base b JOIN gm USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="repetition / boilerplate metrics per doc (Gopher-style quality "
+    "rules): unique-token fraction and most-frequent-bigram fraction, in "
+    "basis points (FLOOR keeps the hash stable across engines; both sides "
+    "do the same IEEE double division). Pure JVM built-ins — tokenize, "
+    "explode bigrams, two hash aggregations keyed by doc_id, so the work "
+    "distributes by document with no skew (per-doc gram counts are bounded "
+    "by doc length); repetitive docs (low uniq_bp / high top_bigram_bp) "
+    "are the classic pre-training removal targets",
+    tags=("E5",),
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    base = d.select("doc_id", text.tokens(F.col("text")).alias("t")).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+    ).filter(F.col("n_tokens") >= 2)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    gm = (
+        grams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_c"), F.sum("count").alias("tot"))
+    )
+    return (
+        base.join(gm, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.lit(10000.0) * F.col("n_uniq") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("uniq_bp"),
+            F.floor(F.lit(10000.0) * F.col("max_c") / F.col("tot"))
+            .cast("bigint")
+            .alias("top_bigram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q90_mixture_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS k FROM documents)
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(FLOOR(10000.0 * s.n_docs / t.total) AS BIGINT) AS share_bp,
+           CAST(FLOOR(10000.0 * t.total / (t.k * s.n_docs)) AS BIGINT) AS uniform_weight_bp
+    FROM s CROSS JOIN t ORDER BY source
+    """,
+    doc="domain-mixture sampling weights: per-source corpus share and the "
+    "resampling weight that flattens the mixture to uniform-over-sources "
+    "(weight = target_share / actual_share, basis points). One partial-agg "
+    "shuffle on source; the result is a per-domain table orders of "
+    "magnitude smaller than the corpus — the broadcast side that drives "
+    "weighted re-sampling (sampleBy, q83) in a real mixture-rebalancing "
+    "pipeline",
+    tags=("E5", "B31"),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = d.agg(
+        F.count("*").alias("total"), F.countDistinct("source").alias("k")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.floor(F.lit(10000.0) * F.col("n_docs") / F.col("total"))
+            .cast("bigint")
+            .alias("share_bp"),
+            F.floor(F.lit(10000.0) * F.col("total") / (F.col("k") * F.col("n_docs")))
+            .cast("bigint")
+            .alias("uniform_weight_bp"),
+        )
+        .orderBy("source")
     )

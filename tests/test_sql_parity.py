@@ -70,6 +70,10 @@ DUAL_DIALECT = [
     "q79_multiset_ops",
     "q80_null_group_keys",
     "q81_lateral_join",
+    "q47_minhash_lsh_pairs",
+    "q48_simhash_pairs",
+    "q54_embedding_near_dup",
+    "q90_mixture_weights",
 ]
 
 
