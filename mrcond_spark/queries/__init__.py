@@ -84,8 +84,12 @@ PRIORITY: tuple[str, ...] = (
     "q26_json_funcs",         # B27
     "q29_subquery",           # B28
     "q30_cte",                # B29
-    "q32_approx_count_distinct",  # B30 (rows-only by design)
-    "q33_sample",             # B31 (rows-only by design)
+    "q32_approx_count_distinct",  # B30 (rows-only by design; no exact oracle exists)
+    # NOT q33 (B31 seeded sample, rows-only): B31's hard signal comes from
+    # q83 (deterministic stratified sample, hash-oracle) below — giving the
+    # window slot to an oracle-bearing query instead maximizes the driver's
+    # 50 hash verdicts (q32 is the only remaining rows-only entry inside)
+    "q84_sequence_packing",   # E5/E7 training-batch assembly (recursive-CTE oracle)
     # LLM-pipeline tier: every E1–E7 operator inside the window
     "q40_exact_dedup",        # E1
     "q41_cosine_topk",        # E3
