@@ -141,6 +141,29 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
 
 
+def test_no_unpartitioned_window_anywhere(spark, sf_dir):
+    """No declared query may plan a Window with an empty partition spec: an
+    unpartitioned window funnels the whole input through ONE task — the
+    single-reducer shape that killed the original global-NTILE plan (fixed
+    round 2 with percentile-cutpoint bucketing). Global ORDER BYs are fine
+    (range-partitioned sort, fully parallel) — this guards window FUNCTIONS
+    specifically. Physical Window nodes render as
+    ``Window [funcs], [partitionSpec], [orderSpec]``; an empty partition
+    spec shows as ``], [], [``."""
+    import re
+
+    offenders = []
+    for name, q in sorted(QUERIES.items()):
+        text = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for line in text.splitlines():
+            s = line.strip()
+            if ("Window " in s or s.startswith("WindowGroupLimit")) and re.search(
+                r"\], \[\], \[", s
+            ):
+                offenders.append((name, s[:100]))
+    assert not offenders, f"single-reducer window plans: {offenders}"
+
+
 def test_scale_report_shape(spark, sf_dir):
     """scale_report gives a correct one-call diagnostic on a known plan."""
     rep = plans.scale_report(QUERIES["q02_filter"].spark(spark, sf_dir))
