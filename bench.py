@@ -180,14 +180,21 @@ def main() -> None:
     bench_t0 = time.perf_counter()
     names = [n for n in sorted(queries) if n not in SKIP]
     timings: dict[str, float] = dict.fromkeys(names, float("inf"))
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name in names:
             if _pass > 0 and time.perf_counter() - bench_t0 > budget_s:
                 break  # keep pass-1 numbers for the rest
             t0 = time.perf_counter()
-            queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            # one broken query must not cost the round its whole BENCH
+            # artifact — record the failure and keep timing the rest
+            try:
+                queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:120]
+                continue
             timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {n: round(v, 3) for n, v in timings.items()}
+    timings = {n: round(v, 3) for n, v in timings.items() if v != float("inf")}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -196,17 +203,25 @@ def main() -> None:
     # parsed=null, line truncated mid-key). So: full-name breakdown goes to
     # stderr for humans; stdout carries exactly ONE compact line (short qNN
     # keys, 2-decimal secs, ~1.4 KB) that always survives the tail window.
-    print(json.dumps({"queries_full": timings}), file=sys.stderr)
+    print(json.dumps({"queries_full": timings, "errors": errors}), file=sys.stderr)
     compact = {n.split("_", 1)[0]: round(v, 2) for n, v in timings.items()}
     # Streaming throughput: the first replay pays one-time stream-planning +
     # state-store + Python-worker costs that a long-running CDC daemon never
     # re-pays, so warm with a small replay and report the best of N timed
     # runs (round-1 lesson: a single cold run under-reported ~5x; warm
     # min-of-N measured 6.6-10.4k ev/s on this host).
-    bench_streaming(spark, n_events=2000)
-    cdc_eps = max(bench_streaming(spark) for _ in range(3))
-    bench_windowed_stream(spark, n_events=10_000)
-    win_eps = max(bench_windowed_stream(spark) for _ in range(2))
+    try:
+        bench_streaming(spark, n_events=2000)
+        cdc_eps = max(bench_streaming(spark) for _ in range(3))
+    except Exception as e:  # noqa: BLE001 — same artifact-preservation rule
+        errors["_cdc_stream"] = f"{type(e).__name__}: {e}"[:120]
+        cdc_eps = 0.0
+    try:
+        bench_windowed_stream(spark, n_events=10_000)
+        win_eps = max(bench_windowed_stream(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        errors["_windowed_stream"] = f"{type(e).__name__}: {e}"[:120]
+        win_eps = 0.0
     print(
         json.dumps(
             {
@@ -219,6 +234,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "cdc_events_per_sec": cdc_eps,
                 "windowed_stream_events_per_sec": win_eps,
+                "n_errors": len(errors),
                 # LAST on purpose: round artifacts keep only the tail of this
                 # line, and this is the one-number round-over-round compare
                 "total_wall_s": total,
