@@ -501,3 +501,53 @@ def test_pack_next_fit_invariants(spark):
 
     out2 = pack_next_fit(df, capacity=512, n_buckets=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_repetition_stats_match_pandas_reference(spark, sf_dir):
+    """q89's distributed bigram/unique-token fractions equal a per-doc pandas
+    computation (independent of both the Spark plan and the DuckDB oracle)."""
+    from collections import Counter
+
+    from mrcond_spark.queries import all_queries
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["uniq_bp"], r["top_bigram_bp"])
+        for r in all_queries()["q89_repetition_stats"].spark(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import math
+
+    checked = 0
+    for row in docs:
+        toks = [t for t in row["text"].strip().lower().split() if t]
+        if len(toks) < 2:
+            assert row["doc_id"] not in got
+            continue
+        grams = Counter(zip(toks, toks[1:]))
+        expect = (
+            len(toks),
+            math.floor(10000.0 * len(set(toks)) / len(toks)),
+            math.floor(10000.0 * max(grams.values()) / sum(grams.values())),
+        )
+        assert got[row["doc_id"]] == expect, row["doc_id"]
+        checked += 1
+    assert checked == len(got)
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    """q90: shares sum to ~1, weights invert shares (weight*share ~ 1/k per
+    source), and every source appears exactly once."""
+    from mrcond_spark.queries import all_queries
+
+    rows = all_queries()["q90_mixture_weights"].spark(spark, sf_dir).collect()
+    sources = [r["source"] for r in rows]
+    assert len(sources) == len(set(sources))
+    total_share = sum(r["share_bp"] for r in rows)
+    # FLOOR loses <1bp per source
+    assert 10000 - len(rows) <= total_share <= 10000
+    k = len(rows)
+    for r in rows:
+        # weight_bp/10000 * n_docs ~= total/k  (uniform target), FLOOR-slack
+        total = sum(x["n_docs"] for x in rows)
+        lhs = r["uniform_weight_bp"] * r["n_docs"]
+        assert abs(lhs - 10000 * total / k) <= r["n_docs"] + 1
