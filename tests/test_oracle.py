@@ -98,3 +98,30 @@ def test_driver_window_covers_every_operator():
     all_tags = {t for q in QUERIES.values() for t in q.tags}
     window_tags = {t for n in names[:50] for t in QUERIES[n].tags}
     assert all_tags <= window_tags, f"operators outside the window: {all_tags - window_tags}"
+
+
+def test_bench_summary_line_fits_driver_tail_window():
+    """The round driver keeps only the last ~2000 chars of bench.py stdout
+    and json-parses the final line (rounds 1-2 lost their BENCH artifact to
+    truncation). Reconstruct the worst-case compact summary line for the
+    CURRENT corpus and assert it stays under budget with margin."""
+    import json
+
+    compact = {n.split("_", 1)[0]: 9999.99 for n in QUERIES}
+    assert len(compact) == len(QUERIES), "qNN prefixes must stay unique"
+    line = json.dumps(
+        {
+            "metric": "declared_corpus_wall_clock",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": compact,
+            "sf": 0.1,
+            "n_queries": len(compact),
+            "cpus": 32,
+            "cdc_events_per_sec": 99999.9,
+            "windowed_stream_events_per_sec": 99999.9,
+            "n_errors": 0,
+            "total_wall_s": 99999.999,
+        }
+    )
+    assert len(line) < 1900, f"bench line {len(line)} chars risks driver truncation"
