@@ -1047,3 +1047,94 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q91_curation_pipeline",
+    oracle="""
+    WITH RECURSIVE toked AS (
+        SELECT doc_id, text, source, n_chars,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '') AS t
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, source, n_chars
+        FROM toked
+        WHERE len(t) >= 10 AND len(list_distinct(t)) * 10 >= len(t) * 3
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id
+               ) AS dup_rn
+        FROM quality
+    ),
+    strat AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('seed91:', CAST(doc_id AS VARCHAR))), doc_id
+               ) AS strat_rn
+        FROM deduped WHERE dup_rn = 1
+    ),
+    surv AS (
+        SELECT doc_id % 16 AS bucket, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+        FROM strat WHERE strat_rn <= 20
+    ),
+    pack AS (
+        SELECT bucket, doc_id, n_chars, rn,
+               n_chars AS fill, CAST(1 AS BIGINT) AS bin_seq
+        FROM surv WHERE rn = 1
+        UNION ALL
+        SELECT s.bucket, s.doc_id, s.n_chars, s.rn,
+               CASE WHEN p.fill + s.n_chars > 2000 THEN s.n_chars
+                    ELSE p.fill + s.n_chars END,
+               CASE WHEN p.fill + s.n_chars > 2000 THEN p.bin_seq + 1
+                    ELSE p.bin_seq END
+        FROM pack p JOIN surv s ON s.bucket = p.bucket AND s.rn = p.rn + 1
+    )
+    SELECT bucket, doc_id, bin_seq, n_chars
+    FROM pack
+    ORDER BY bucket, doc_id
+    """,
+    doc="end-to-end curation flagship, every stage deterministic so the FULL "
+    "composition hash-checks: quality gate (>=10 tokens, >=30% unique) -> "
+    "exact dedup (sha256 of normalized text, keep min id) -> per-source "
+    "mixture cap (seeded-hash rank <= 20, the q83 idiom applied to q90's "
+    "imbalance) -> sequence packing into 2000-char bins (q84 operator). "
+    "Scale shape: three hash shuffles (dedup key / source / bucket) plus the "
+    "bucketed applyInPandas, nothing global; the statistical near-dup tier "
+    "deliberately stays OUT of this query (its recall is not "
+    "oracle-expressible — see q75) and slots between dedup and strat in "
+    "production",
+    tags=("E1", "E5", "E7", "B31"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.packing import pack_next_fit
+
+    d = load(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    quality = d.select(
+        "doc_id", "text", "source", "n_chars", F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("n_uniq") * 10 >= F.col("n_tokens") * 3))
+    dedup_w = Window.partitionBy(dedup.text_hash(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("dup_rn", F.row_number().over(dedup_w))
+        .filter(F.col("dup_rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+    strat_w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("seed91:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    surv = (
+        deduped.withColumn("strat_rn", F.row_number().over(strat_w))
+        .filter(F.col("strat_rn") <= 20)
+        .select("doc_id", "n_chars")
+    )
+    return pack_next_fit(surv, capacity=2000, n_buckets=16).orderBy("bucket", "doc_id")
