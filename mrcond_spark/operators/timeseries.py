@@ -1,0 +1,70 @@
+"""Time-series feature recurrences over event streams (SURVEY §2.4 E5+/B16
+companion).
+
+EWMA (exponentially weighted moving average) is the canonical *stateful
+numeric recurrence*: ``e_i = alpha * v_i + (1 - alpha) * e_{i-1}``. Unlike a
+windowed SUM it has multiplicative state, so it is NOT a plain SQL window
+frame — but it IS exactly a linear recursive CTE, which is how the DuckDB
+oracle states it (same pattern as the packing recurrence, packing.py).
+
+Scale shape: one shuffle on the partition key (user/entity — high
+cardinality), then one ``applyInPandas`` walk per group in event order.
+Each group is O(rows/key) memory with zero driver involvement; at 100 TB
+the key space is the parallelism dial exactly like streaming stateful ops.
+Determinism: both engines evaluate the identical float64 op sequence in the
+identical per-key order, so results are bit-equal and hash-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key EWMA of ``value_col`` walking rows in ``order_cols`` order.
+
+    Returns the input columns (key, order, value) plus ``out_col`` (double).
+    The closure is self-contained (cloudpickle by-value) so consumers that
+    cannot import this package on their Python workers still run it.
+    """
+    keyed = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    otypes = [keyed.schema[c].dataType.simpleString() for c in ocols]
+    a = float(alpha)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols).reset_index(drop=True)
+        state = None
+        out = []
+        for v in pdf["__v"]:
+            state = v if state is None else a * v + (1.0 - a) * state
+            out.append(state)
+        pdf["__e"] = pd.Series(out, dtype="float64")
+        return pdf
+
+    schema = ", ".join(
+        ["__k " + keyed.schema["__k"].dataType.simpleString()]
+        + [f"{c} {t}" for c, t in zip(ocols, otypes)]
+        + ["__v double", "__e double"]
+    )
+    out = keyed.groupBy("__k").applyInPandas(walk, schema=schema)
+    return out.select(
+        F.col("__k").alias(key_col),
+        *[F.col(f"__o{i}").alias(c) for i, c in enumerate(order_cols)],
+        F.col("__v").alias(value_col),
+        F.col("__e").alias(out_col),
+    )

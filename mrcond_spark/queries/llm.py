@@ -1138,3 +1138,45 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return pack_next_fit(surv, capacity=2000, n_buckets=16).orderBy("bucket", "doc_id")
+
+
+@register(
+    "q92_ewma_features",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id % 100 = 0
+    ),
+    rec AS (
+        SELECT user_id, event_id, value, rn, CAST(value AS DOUBLE) AS e
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+               0.5 * CAST(ev.value AS DOUBLE) + 0.5 * rec.e
+        FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+    )
+    SELECT user_id, event_id, CAST(FLOOR(1000000 * e) AS BIGINT) AS ewma_e6
+    FROM rec ORDER BY user_id, event_id
+    """,
+    doc="per-user EWMA of event values (alpha=0.5, event-time order) — the "
+    "canonical stateful numeric recurrence for feature pipelines "
+    "(operators/timeseries.py). Multiplicative state is not a SQL window "
+    "frame, but it IS a linear recursive CTE, which is how the oracle "
+    "states it (the q84 pattern); both engines run the identical float64 "
+    "op sequence in identical per-key order, so the outputs are bit-equal "
+    "and FLOOR(1e6*x) is hash-stable. One shuffle on the high-cardinality "
+    "user key + one Arrow walk per group — the batch analog of "
+    "applyInPandasWithState (S9)",
+    tags=("E5", "E7", "B16"),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import ewma
+
+    ev = load(spark, sf, "events").filter(F.col("user_id") % 100 == 0)
+    out = ewma(ev, key_col="user_id", order_cols=("ts", "event_id"), value_col="value", alpha=0.5)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.lit(1000000.0) * F.col("ewma")).cast("bigint").alias("ewma_e6"),
+    ).orderBy("user_id", "event_id")

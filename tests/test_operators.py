@@ -551,3 +551,28 @@ def test_mixture_weights_invariants(spark, sf_dir):
         total = sum(x["n_docs"] for x in rows)
         lhs = r["uniform_weight_bp"] * r["n_docs"]
         assert abs(lhs - 10000 * total / k) <= r["n_docs"] + 1
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """timeseries.ewma equals a pandas ewm(adjust=False) per-key walk,
+    including out-of-order input rows and a custom alpha."""
+    import pandas as pdl
+
+    from mrcond_spark.operators.timeseries import ewma
+
+    rows = [
+        # key, order, value — deliberately shuffled order
+        ("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0),
+        ("b", 1, 5.0), ("b", 2, 7.0),
+        ("c", 1, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, o INT, v DOUBLE")
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in ewma(df, key_col="k", order_cols=("o",), value_col="v", alpha=0.3).collect()
+    }
+    pdf = pdl.DataFrame(rows, columns=["k", "o", "v"]).sort_values(["k", "o"])
+    for k, g in pdf.groupby("k"):
+        ref = g["v"].ewm(alpha=0.3, adjust=False).mean()
+        for (_, row), e in zip(g.iterrows(), ref):
+            assert got[(k, row["o"])] == pytest.approx(e, abs=1e-12)
