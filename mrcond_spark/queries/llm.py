@@ -1180,3 +1180,70 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.floor(F.lit(1000000.0) * F.col("ewma")).cast("bigint").alias("ewma_e6"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q93_mixture_rebalance",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS k FROM documents),
+    s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    probs AS (
+        SELECT s.source, s.n_docs,
+               least(1.0, CAST(t.total AS DOUBLE) / (t.k * s.n_docs)) AS keep_p
+        FROM s CROSS JOIN t
+    ),
+    kept AS (
+        SELECT d.source
+        FROM documents d JOIN probs p USING (source)
+        WHERE CAST(('0x' || substr(md5(concat('seed93:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+                   AS BIGINT) / 1152921504606846976.0 < p.keep_p
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_before,
+           CAST(COUNT(k.source) AS BIGINT) AS n_kept
+    FROM probs p LEFT JOIN kept k ON k.source = p.source
+    GROUP BY p.source, p.n_docs
+    ORDER BY p.source
+    """,
+    doc="mixture rebalancing APPLIED: q90's uniform-target keep probability "
+    "per source, enforced by deterministic hash thresholding — a doc "
+    "survives iff uniform(md5(seed:doc_id)) < keep_p. Unlike rand()-based "
+    "sampleBy this is reproducible across retries, partitionings, and "
+    "engines (both sides compute the identical 60-bit hash fraction and the "
+    "identical float64 threshold), which is what makes a curation resample "
+    "auditable; one agg shuffle + one broadcast of the per-source prob "
+    "table. Downsample-only (keep_p capped at 1) — upweighting is a "
+    "repeat-factor column, not row deletion",
+    tags=("E5", "B31"),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = d.agg(F.count("*").alias("total"), F.countDistinct("source").alias("k"))
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    probs = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), F.col("total").cast("double") / (F.col("k") * F.col("n_docs"))
+        ).alias("keep_p"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("seed93:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 60))
+    kept = (
+        d.join(F.broadcast(probs), "source")
+        .filter(u < F.col("keep_p"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        probs.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_before"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

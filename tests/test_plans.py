@@ -123,6 +123,7 @@ _NONEQUI_OK = {
     "q41_cosine_topk",  # pinned-query broadcast crossJoin (|Q| driver-bounded)
     "q86_tfidf_terms",  # 1-row corpus-size scalar broadcast-crossed into tf
     "q90_mixture_weights",  # 1-row (total, k) scalar broadcast-crossed into per-source aggs
+    "q93_mixture_rebalance",  # same 1-row scalar cross into the per-source prob table
 }
 
 
