@@ -1729,3 +1729,93 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# first-touch event funnel (sequence analytics over the events stream)
+# --------------------------------------------------------------------------
+@register(
+    "q94_event_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    tv AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN tv ON e.user_id = tv.user_id
+        WHERE e.event_type = 'click' AND e.ts > tv.tv
+          AND epoch_us(e.ts) - epoch_us(tv.tv) <= 259200000000
+        GROUP BY e.user_id
+    ),
+    tb AS (
+        SELECT e.user_id, MIN(e.ts) AS tb
+        FROM events e JOIN tc ON e.user_id = tc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+          AND epoch_us(e.ts) - epoch_us(tc.tc) <= 259200000000
+        GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN tb.user_id IS NOT NULL THEN 3
+                     WHEN tc.user_id IS NOT NULL THEN 2
+                     WHEN tv.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM u LEFT JOIN tv ON u.user_id = tv.user_id
+           LEFT JOIN tc ON u.user_id = tc.user_id
+           LEFT JOIN tb ON u.user_id = tb.user_id
+    GROUP BY stage ORDER BY stage
+    """,
+    doc="first-touch conversion funnel: per user, earliest view, earliest "
+    "click within 30 min AFTER that view, earliest purchase within 30 min "
+    "AFTER that click; users "
+    "bucketed by deepest stage reached. Three aggregation passes all keyed "
+    "on user_id — co-partitioned, so after the first hash exchange the "
+    "chained joins and aggs reuse the same distribution (Catalyst reuses "
+    "compatible hash partitioning; no re-shuffle per stage); strict "
+    "ts-ordering makes the sequencing deterministic and hash-checkable",
+    tags=("B11", "B23"),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tv"))
+            & (F.unix_micros("ts") - F.unix_micros("tv") <= 259_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("tc"))
+            & (F.unix_micros("ts") - F.unix_micros("tc") <= 259_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    stage = (
+        F.when(F.col("tb").isNotNull(), 3)
+        .when(F.col("tc").isNotNull(), 2)
+        .when(F.col("tv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(tv, "user_id", "left")
+        .join(tc, "user_id", "left")
+        .join(tb, "user_id", "left")
+        .select(stage.cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("stage")
+    )
