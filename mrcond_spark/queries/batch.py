@@ -1819,3 +1819,40 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("stage")
     )
+
+
+@register(
+    "q95_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT f.cohort, CAST(e.ts AS DATE) - f.cohort AS k, e.user_id
+        FROM events e JOIN first f USING (user_id)
+    )
+    SELECT cohort, CAST(k AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort, k ORDER BY cohort, k
+    """,
+    doc="cohort retention: users grouped by first-activity day, counted "
+    "distinct-active at each day offset — the standard retention-curve "
+    "input. Two aggregations and one join, ALL keyed on user_id until the "
+    "final (cohort, k) rollup, so the first-activity join is "
+    "co-partitioned with the distinct; the (cohort, k) result is tiny "
+    "(days x days upper bound) regardless of corpus size",
+    tags=("B11", "B23"),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", F.col("ts").cast("date").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        ev.join(first, "user_id")
+        .select("cohort", F.datediff("d", F.col("cohort")).alias("k"), "user_id")
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort", F.col("k").cast("int").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .orderBy("cohort", "k")
+    )
