@@ -73,8 +73,11 @@ PRIORITY: tuple[str, ...] = (
     "q16_analytic_window",    # B16
     "q17_topk",               # B17/B18
     "q18_union",              # B19
-    "q19_intersect",          # B20
-    "q20_except",             # B20
+    "q19_intersect",          # B20 (EXCEPT variant q20 is outside the window —
+    #                           B20 keeps one representative; the freed slot
+    #                           carries the curation-pipeline composition,
+    #                           which the brief grades first-class)
+    "q91_curation_pipeline",  # E1+E5+E7+B31 end-to-end composition
     "q27_distinct",           # B21
     "q21_string_funcs",       # B22
     "q22_date_funcs",         # B23
@@ -108,7 +111,11 @@ PRIORITY: tuple[str, ...] = (
     "q54_embedding_near_dup",  # E2
     "q55_ngram_jaccard",      # E2
     "q74_dedup_clusters",     # E1 end-to-end
-    "q75_near_dup_removal",   # E1/E2 end-to-end
+    # NOT q75 (near-dup removal, rows-only: survivor sets depend on LSH
+    # recall over the corpus's natural near-dups — see its docstring); its
+    # E1/E2 tags are hash-covered by q40/q74/q47/q48/q54/q55, so the slot
+    # goes to the EWMA recurrence, which carries a hash oracle
+    "q92_ewma_features",      # E5/E7/B16 stateful recurrence
     "q83_stratified_sample",  # B31 oracle-checked variant
 )
 
