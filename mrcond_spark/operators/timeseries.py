@@ -33,9 +33,13 @@ def ewma(
 ) -> DataFrame:
     """Per-key EWMA of ``value_col`` walking rows in ``order_cols`` order.
 
-    Returns the input columns (key, order, value) plus ``out_col`` (double).
-    The closure is self-contained (cloudpickle by-value) so consumers that
-    cannot import this package on their Python workers still run it.
+    ``order_cols`` must TOTALLY order rows within each key (e.g. include a
+    unique id as tiebreak): ties leave the visit order to the shuffle, and a
+    multiplicative recurrence is order-dependent — the result would vary
+    run to run. Returns the input columns (key, order, value) plus
+    ``out_col`` (double). The closure is self-contained (cloudpickle
+    by-value) so consumers that cannot import this package on their Python
+    workers still run it.
     """
     keyed = df.select(
         F.col(key_col).alias("__k"),
