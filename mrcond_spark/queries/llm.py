@@ -273,19 +273,42 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q57_mllib_minhash_pairs",
-    oracle=None,  # approximate; planted-duplicate recall asserted in pytest
-    doc="MLlib-native MinHashLSH near-dup pairs (HashingTF over shingles + "
-    "approxSimilarityJoin) — calibrated Jaccard-distance tier (E2)",
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           CAST(0.0 AS DOUBLE) AS jaccard_dist
+    FROM documents
+    WHERE doc_id % 25 = 0
+      AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          t -> t != '')) >= 3
+    ORDER BY id_a
+    """,
+    doc="MLlib-native MinHashLSH near-dup pairs (HashingTF over shingles, "
+    "fitted hash tables, explicit bucket self-join + exact Jaccard verify) "
+    "— the calibrated Jaccard-distance tier (E2). Planted exact duplicates "
+    "(every 25th doc re-tagged id+1e6) produce identical HashingTF vectors "
+    "hence identical MinHash signatures in every table, so each planted "
+    "pair is a guaranteed candidate with exact distance 0.0; the oracle's "
+    "token-count floor mirrors the operator's empty-shingle filter "
+    "(MinHashLSH rejects all-zero vectors). General recall of the MLlib "
+    "path stays pytest-asserted; round-2 shape was rows-only.",
     tags=("E2",),
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-    # 5 hash tables: the OR-amplified approxSimilarityJoin cost scales with
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
+    # 5 hash tables: the OR-amplified candidate-join cost scales with
     # tables x corpus; 5 keeps planted-dup recall >= 0.9 (tested) at ~60% of
     # the 8-table join cost
-    return dedup.mllib_minhash_pairs(
-        d, num_hash_tables=5, max_jaccard_distance=0.5
-    ).orderBy("id_a", "id_b")
+    pairs = dedup.mllib_minhash_pairs(corpus, num_hash_tables=5, max_jaccard_distance=0.5)
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b", "jaccard_dist")
+        .orderBy("id_a")
+    )
 
 
 @register(
