@@ -1767,8 +1767,9 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY stage ORDER BY stage
     """,
     doc="first-touch conversion funnel: per user, earliest view, earliest "
-    "click within 30 min AFTER that view, earliest purchase within 30 min "
-    "AFTER that click; users "
+    "click within 3 days AFTER that view, earliest purchase within 3 days "
+    "AFTER that click (window sized so the synthetic data populates all "
+    "three stages); users "
     "bucketed by deepest stage reached. Three aggregation passes all keyed "
     "on user_id — co-partitioned, so after the first hash exchange the "
     "chained joins and aggs reuse the same distribution (Catalyst reuses "
