@@ -194,6 +194,10 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:120]
                 continue
             timings[name] = min(timings[name], time.perf_counter() - t0)
+            # a pass-1 failure that succeeds on a later pass DID complete:
+            # keep the valid timing, drop the stale error (else n_queries +
+            # n_errors over-counts the corpus and misreports the query)
+            errors.pop(name, None)
     timings = {n: round(v, 3) for n, v in timings.items() if v != float("inf")}
 
     total = round(sum(timings.values()), 3)

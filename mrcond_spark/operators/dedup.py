@@ -236,7 +236,11 @@ def mllib_minhash_pairs(
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), shingle_udf(shingle_n)(F.col(text_col)).alias("sh"))
-        .filter(F.size("sh") > 0)  # MinHashLSH requires at least one non-zero entry
+        # Defensive only: shingle_udf emits >=1 gram even for short/empty
+        # text (a single sub-n-token gram), so this never drops a row and
+        # MinHashLSH never sees an all-zero vector. Kept as a guard against
+        # a future shingle implementation that CAN return empty.
+        .filter(F.size("sh") > 0)
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feat = tf.transform(sh)

