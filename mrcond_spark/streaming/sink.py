@@ -104,7 +104,7 @@ class RabbitMQPublisher:
         self._conn = None
         self._channel = None
 
-    def _ensure_channel(self):  # pragma: no cover - needs broker
+    def _ensure_channel(self):
         if self._channel is None or not self._channel.is_open:
             params = self._pika.URLParameters(self._uri)
             self._conn = self._pika.BlockingConnection(params)
@@ -112,10 +112,10 @@ class RabbitMQPublisher:
             self._channel.confirm_delivery()  # publisher confirms
         return self._channel
 
-    def declare(self, stream_name: str) -> None:  # pragma: no cover - needs broker
+    def declare(self, stream_name: str) -> None:
         self._ensure_channel().queue_declare(queue=stream_name, durable=False)
 
-    def publish_batch(self, stream_name: str, payloads: list[str]) -> None:  # pragma: no cover
+    def publish_batch(self, stream_name: str, payloads: list[str]) -> None:
         ch = self._ensure_channel()
         for p in payloads:
             ch.basic_publish(exchange="", routing_key=stream_name, body=p.encode())
