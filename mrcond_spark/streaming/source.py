@@ -26,9 +26,18 @@ def mongo_change_stream(spark: SparkSession, mongo_uri: str, coll: Collection) -
     mongod (compose healthcheck trick, reference docker-compose.yaml:17-28).
     ``change.stream.publish.full.document.only=false`` keeps the full
     envelope, matching the reference's verbatim forwarding.
+
+    The v10 connector requires an explicit schema for change streams when
+    full-document-only is off; declaring ``ENVELOPE_SCHEMA`` drives its
+    conversions — nested change-event fields declared as StringType (resume
+    token ``_id``, ``documentKey``, ``fullDocument``) arrive as JSON strings,
+    which is exactly the envelope contract. Exercised end-to-end only by the
+    gated live e2e (tests/test_e2e_live.py); everything downstream of the
+    source is covered by the file-replay double.
     """
     return (
         spark.readStream.format("mongodb")
+        .schema(ENVELOPE_SCHEMA)
         .option("spark.mongodb.connection.uri", mongo_uri)
         .option("spark.mongodb.database", coll.db_name)
         .option("spark.mongodb.collection", coll.coll_name)
