@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mrcond_spark.queries import all_queries  # noqa: E402
@@ -88,8 +90,6 @@ def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
     (watermark + window groupBy) into a noop-equivalent memory sink;
     returns events/sec. Unlike the CDC path there is no serial per-queue
     drain — this measures the distributed stateful-agg path."""
-    import datetime as _dt
-    import json as _json
     import shutil
     import tempfile
     import uuid
@@ -99,27 +99,8 @@ def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
     tmp = tempfile.mkdtemp(prefix="bench-win-")
     try:
         events_dir = os.path.join(tmp, "events")
-        os.makedirs(events_dir)
-        base = _dt.datetime(2024, 1, 1)
-        per_file = n_events // 4
-        for b in range(4):
-            with open(os.path.join(events_dir, f"b{b}.json"), "w") as f:
-                for i in range(b * per_file, (b + 1) * per_file):
-                    ts = base + _dt.timedelta(seconds=i % 86400)
-                    f.write(
-                        _json.dumps(
-                            {
-                                "event_id": i,
-                                "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"),
-                                "user_id": i % 997,
-                                "event_type": ["view", "click", "buy"][i % 3],
-                                "value": float(i % 100),
-                            }
-                        )
-                        + "\n"
-                    )
-        schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
-        stream = spark.readStream.schema(schema).json(events_dir)
+        _write_event_files(events_dir, n_events)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
         agg = windows.tumbling_counts(stream, duration="5 minutes")
         name = f"benchwin{uuid.uuid4().hex[:8]}"
         t0 = time.perf_counter()
@@ -143,6 +124,121 @@ def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
         )
         spark.catalog.dropTempView(name)
         return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_event_files(events_dir: str, n_events: int, ts_offset_s: int = 0) -> None:
+    """4 JSON-line files of synthetic events (one micro-batch each under
+    maxFilesPerTrigger-free availableNow draining)."""
+    import datetime as _dt
+    import json as _json
+
+    os.makedirs(events_dir, exist_ok=True)
+    base = _dt.datetime(2024, 1, 1)
+    per_file = n_events // 4
+    for b in range(4):
+        with open(os.path.join(events_dir, f"b{b}.json"), "w") as f:
+            for i in range(b * per_file, (b + 1) * per_file):
+                ts = base + _dt.timedelta(seconds=(i % 86400) + ts_offset_s)
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "user_id": i % 997,
+                            "event_type": ["view", "click", "buy"][i % 3],
+                            "value": float(i % 100),
+                        }
+                    )
+                    + "\n"
+                )
+
+
+EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def bench_session_stream(spark, n_events: int = 100_000) -> float:
+    """S7 throughput: gap-based session windows per user over the replayed
+    event stream (memory sink, complete mode); returns events/sec. Session
+    windows are the heaviest stateful-agg shape (merge-on-overlap state, not
+    fixed buckets), so this bounds the custom-sessionization path."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrcond_spark.streaming import windows
+
+    tmp = tempfile.mkdtemp(prefix="bench-sess-")
+    try:
+        events_dir = os.path.join(tmp, "events")
+        _write_event_files(events_dir, n_events)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
+        agg = windows.session_counts(stream, gap="5 minutes")
+        name = f"benchsess{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+        # same honesty rule as the windowed bench: divide by events actually
+        # aggregated into the snapshot, not the nominal corpus size
+        delivered = spark.sql(f"SELECT COALESCE(SUM(cnt), 0) AS c FROM {name}").collect()[0]["c"]
+        spark.catalog.dropTempView(name)
+        return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_stream_stream_join(spark, n_events_per_side: int = 50_000) -> float:
+    """S10 throughput: watermarked stream-stream join (15-minute bounded
+    range on user_id) between two replayed event streams; returns INPUT
+    events/sec (both sides). The right side is the left shifted +30 s, so
+    every left row has at least one in-range match — output row count is
+    asserted non-zero, and an unfinished drain reports 0 rather than an
+    inflated figure."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrcond_spark.streaming import windows
+
+    tmp = tempfile.mkdtemp(prefix="bench-ssj-")
+    try:
+        _write_event_files(os.path.join(tmp, "left"), n_events_per_side)
+        _write_event_files(os.path.join(tmp, "right"), n_events_per_side, ts_offset_s=30)
+        left = spark.readStream.schema(EVENT_SCHEMA).json(os.path.join(tmp, "left"))
+        right = spark.readStream.schema(EVENT_SCHEMA).json(os.path.join(tmp, "right"))
+        joined = windows.stream_stream_join(left, right, key="user_id").select(
+            F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
+        )
+        name = f"benchssj{uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+        matched = spark.sql(f"SELECT COUNT(*) AS c FROM {name}").collect()[0]["c"]
+        spark.catalog.dropTempView(name)
+        if not finished or matched == 0:
+            return 0.0
+        return round((2 * n_events_per_side) / elapsed, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -226,6 +322,18 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["_windowed_stream"] = f"{type(e).__name__}: {e}"[:120]
         win_eps = 0.0
+    try:
+        bench_session_stream(spark, n_events=10_000)  # warm state-store path
+        sess_eps = max(bench_session_stream(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        errors["_session_stream"] = f"{type(e).__name__}: {e}"[:120]
+        sess_eps = 0.0
+    try:
+        bench_stream_stream_join(spark, n_events_per_side=5_000)  # warm
+        ssj_eps = max(bench_stream_stream_join(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        errors["_stream_stream_join"] = f"{type(e).__name__}: {e}"[:120]
+        ssj_eps = 0.0
     print(
         json.dumps(
             {
@@ -238,6 +346,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "cdc_events_per_sec": cdc_eps,
                 "windowed_stream_events_per_sec": win_eps,
+                "session_window_events_per_sec": sess_eps,
+                "stream_join_events_per_sec": ssj_eps,
                 "n_errors": len(errors),
                 # LAST on purpose: round artifacts keep only the tail of this
                 # line, and this is the one-number round-over-round compare

@@ -206,25 +206,30 @@ def ivf_ann_topk(
     """
     import numpy as np
 
-    # materialized once (localCheckpoint, ContextCleaner-reclaimed — a plain
-    # persist would leak into the session): the sample job, the assignment
-    # pass, and the probe join all read these blocks instead of re-running
-    # the scan. A real deployment materializes the assigned table with an
-    # explicit write.
-    vecs = materialize_once(
-        ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
-        )
+    # NOT materialized (round-4 re-measure): each stage below consumes the
+    # scan exactly once — count is a footer/metadata-cheap job, the sample
+    # collect reads the data once, and the probe join reads it once more in
+    # the final job. A localCheckpoint added a full write plus extra jobs
+    # for zero reuse (measured: it was ~20% of q56's wall at sf0.1). A real
+    # deployment materializes the ASSIGNED table with an explicit write and
+    # partitions it by cell id, which is an output artifact, not a temp.
+    vecs = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
     )
     fit_sample = 4096
-    n_rows = vecs.count()  # cheap: counts materialized blocks, no recompute
+    n_rows = embeddings.count()  # pre-repartition: no shuffle in this job
     frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
     # NOTE: Bernoulli .sample(fraction) draws depend on the input's file
     # partitioning, so centroids (and non-planted IVF output) can shift
     # across hosts/layouts — acceptable because IVF is graded rows-only
     # (recall-vs-exact pytest), never hash-compared.
     sample = np.array(
-        [r["nv"] for r in vecs.select("nv").sample(fraction=frac, seed=seed).collect()],
+        [
+            r["nv"]
+            for r in embeddings.select(F.col(vec_col).alias("nv"))
+            .sample(fraction=frac, seed=seed)
+            .collect()
+        ],
         dtype="float64",
     )
     if len(sample) == 0:
@@ -248,9 +253,15 @@ def ivf_ann_topk(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
-    # assignment stays JVM-side (codegen'd, no Python workers): per cell,
-    # score = -2*v.c + |c|^2 (the |v|^2 term is constant per row and drops
-    # out of the argmin); cell id = first index attaining the min score
+    # assignment stays JVM-side: per cell, score = -2*v.c + |c|^2 (the |v|^2
+    # term is constant per row and drops out of the argmin); cell id = first
+    # index attaining the min score. Honest cost model: Spark evaluates
+    # higher-order functions (zip_with/aggregate) INTERPRETED, not codegen'd
+    # — but an A/B at 16 cells x 64 dims measured the interpreted fold 2x
+    # FASTER than an Arrow-batched numpy argmin (0.15 s vs 0.33 s at sf0.1):
+    # the per-stage Python worker round-trip costs more than 16x64 lambda
+    # evals per row. For much wider configs (hundreds of cells x 1k+ dims)
+    # the crossover flips; switch to a pandas_udf argmin there.
     def cell_score(c: "np.ndarray") -> Column:
         cvec = F.array(*[F.lit(float(x)) for x in c])
         return F.lit(float((c * c).sum())) - 2.0 * dot(F.col("nv"), cvec)

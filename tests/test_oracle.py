@@ -120,6 +120,8 @@ def test_bench_summary_line_fits_driver_tail_window():
             "cpus": 32,
             "cdc_events_per_sec": 99999.9,
             "windowed_stream_events_per_sec": 99999.9,
+            "session_window_events_per_sec": 99999.9,
+            "stream_join_events_per_sec": 99999.9,
             "n_errors": 0,
             "total_wall_s": 99999.999,
         }
