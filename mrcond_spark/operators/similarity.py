@@ -189,9 +189,10 @@ def ivf_ann_topk(
 
     Build: k-means over a BOUNDED sample (driver-side numpy, ``fit_sample``
     rows) partitions the corpus into ``n_clusters`` cells; every vector
-    stores its cell id via one broadcast-centroid Arrow pass. Search: each
-    query probes its ``n_probe`` nearest centroids and exact-cosine re-ranks
-    only those cells' members.
+    stores its cell id via one broadcast-centroid pass. Search: each query
+    probes its OWN cell first (structural guarantee — see the probe-list
+    comment) plus its ``n_probe - 1`` nearest remaining centroids, and
+    exact-cosine re-ranks only those cells' members.
 
     100 TB shape: the index build never reads the full corpus — centroids
     come from a fixed-size sample (the standard IVF build; recall is set by
@@ -272,17 +273,25 @@ def ivf_ann_topk(
         "nv",
         (F.array_position(scores, F.array_min(scores)) - 1).cast("int").alias("cell"),
     )
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    q_local = queries.collect()  # |queries| is small and pinned by contract
+    # |queries| is small and pinned by contract; collecting from `assigned`
+    # (same single pass as collecting the raw vectors) also yields each query
+    # row's OWN cell under the same JVM expression that assigns every corpus
+    # row. That cell always leads the probe list: any exact duplicate of the
+    # query vector lands in the identical cell (same expression, identical
+    # input bytes -> identical deterministic fold -> identical argmin), so a
+    # planted duplicate is GUARANTEED probed regardless of centroid draw —
+    # that structural invariant is what lets q56 carry a planted-neighbor
+    # hash oracle while centroids themselves may vary with partitioning.
+    # Remaining probes come from cosine ranking over the centroids.
+    q_local = assigned.filter(F.col("nbr_id").isin(query_ids)).collect()
     cnorm = np.linalg.norm(centroids, axis=1)
     probe_rows = []
     for r in q_local:
-        qv = np.asarray(r["qv"], dtype="float64")
+        qv = np.asarray(r["nv"], dtype="float64")
         sims = (centroids @ qv) / (np.maximum(cnorm * np.linalg.norm(qv), 1e-300))
-        for cell in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((r["query_id"], list(map(float, qv)), int(cell)))
+        rest = [int(c) for c in np.argsort(-sims) if int(c) != r["cell"]]
+        for cell in [r["cell"], *rest[: max(n_probe - 1, 0)]]:
+            probe_rows.append((r["nbr_id"], list(map(float, qv)), int(cell)))
     probes = embeddings.sparkSession.createDataFrame(
         probe_rows, "query_id LONG, qv ARRAY<DOUBLE>, cell INT"
     )

@@ -396,14 +396,36 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q56_ann_ivf",
-    oracle=None,  # approximate; recall@k vs exact q41 asserted in pytest
-    doc="IVF approximate nearest neighbors: KMeans cells + n_probe exact "
-    "re-rank — the partition-pruned scale path for ANN (E4)",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           vec_id + {PLANT_OFFSET} AS nbr_id,
+           CAST(1.0 AS DOUBLE) AS cos_r,
+           CAST(1 AS INT) AS rank
+    FROM embeddings WHERE vec_id IN ({",".join(map(str, PINNED_VEC_IDS))})
+    ORDER BY query_id
+    """,
+    doc="IVF approximate nearest neighbors: sampled-KMeans cells + n_probe "
+    "exact re-rank — the partition-pruned scale path for ANN (E4), stated "
+    "as the planted-neighbor eval (round-3 shape was rows-only = no driver "
+    "signal). Deterministic even though the centroid sample can vary with "
+    "input partitioning: the probe list structurally includes the query "
+    "row's own cell, an exact duplicate lands in the identical cell (same "
+    "JVM expression over identical bytes), and max natural cosine ~0.60 "
+    "<< 1.0, so the planted duplicate wins rank 1 for ANY centroid draw. "
+    "General recall@k vs exact q41 stays pytest-asserted.",
     tags=("E4",),
 )
 def q56(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    return similarity.ivf_ann_topk(e, PINNED_VEC_IDS, k=3).orderBy("query_id", "rank")
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id").isin(PINNED_VEC_IDS)).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    topk = similarity.ivf_ann_topk(e.unionByName(planted), PINNED_VEC_IDS, k=3)
+    return (
+        topk.filter(F.col("rank") == 1)
+        .select("query_id", "nbr_id", "cos_r", "rank")
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -653,16 +675,56 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q75_near_dup_removal",
-    oracle=None,  # LSH-candidate-dependent; planted-removal asserted in pytest
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET}, lang, text FROM documents WHERE doc_id % 25 = 0
+    ),
+    toked AS (
+        SELECT doc_id, lang,
+               list_sort(list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(lower(trim(text)), '\\s+')[i],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+2])
+                 )
+               )) AS sh
+        FROM corpus
+    ),
+    grouped AS (
+        SELECT doc_id, lang,
+               MIN(doc_id) OVER (PARTITION BY array_to_string(sh, chr(1))) AS rep
+        FROM toked
+    )
+    SELECT lang, COUNT(*) AS n_survivors
+    FROM grouped WHERE doc_id = rep
+    GROUP BY lang ORDER BY lang
+    """,
     doc="flagship curation composition: MinHash-LSH candidates -> exact "
     "Jaccard verify -> connected components -> drop non-representatives; "
-    "survivor count per lang (E1+E2, `dedup.remove_near_dups`)",
+    "survivor count per lang (E1+E2, `dedup.remove_near_dups`). Planted "
+    "hash oracle (round-3 shape was rows-only): exact duplicates (every "
+    "25th doc re-tagged id+2^60) with min_jaccard=1.0 — J=1.0 iff the "
+    "3-gram shingle SETS are identical (k/n < 1.0 rounds strictly below "
+    "1.0 in double for any real doc), identical sets share every banded "
+    "signature so candidacy is guaranteed, and J=1.0 is an equivalence "
+    "relation so clusters are exactly the identical-shingle-set groups — "
+    "the oracle states min-id-per-group survival in pure SQL with no LSH "
+    "simulation. Sub-1.0-threshold recall (the probabilistic part) stays "
+    "pytest-asserted via planted near-dups in tests/test_operators.py.",
     tags=("E1", "E2"),
 )
 def q75(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)
+    )
+    corpus = d.unionByName(planted)
     return (
-        dedup.remove_near_dups(d)
+        dedup.remove_near_dups(corpus, min_jaccard=1.0)
         .groupBy("lang")
         .agg(F.count("*").alias("n_survivors"))
         .orderBy("lang")
