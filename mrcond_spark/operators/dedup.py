@@ -307,14 +307,25 @@ def mllib_minhash_pairs(
     )
 
 
-def simhash64_udf(shingle_n: int = 2):
+def simhash64_udf(shingle_n: int = 2, hash_fn: str = "blake2b"):
     """Arrow-batched 64-bit SimHash: text -> signed BIGINT fingerprint.
 
-    Per shingle: blake2b-8byte hash (C speed); per doc: numpy unpackbits ->
+    Per shingle: an 8-byte digest (C speed); per doc: numpy unpackbits ->
     +-1 votes per bit -> sign -> packed uint64. Self-contained closure.
+
+    ``hash_fn``: ``blake2b`` (default, fastest) or ``md5`` (first 8 digest
+    bytes == first 16 hex chars of SQL ``md5()``, so a DuckDB oracle can
+    recompute the IDENTICAL fingerprint — same design as
+    ``text.doc_fingerprint_from_tokens``; q62 uses this). Tokenization is
+    ASCII-whitespace + space-only strip to match the JVM/DuckDB trim+regex
+    semantics the oracles use (Python's ``\\s``/``strip()`` are
+    Unicode-aware).
     """
     from pyspark.sql.functions import pandas_udf
     import pandas as pd
+
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"unsupported hash_fn {hash_fn!r}")
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -323,17 +334,18 @@ def simhash64_udf(shingle_n: int = 2):
 
         import numpy as np
 
-        ws = re.compile(r"\s+")
+        if hash_fn == "blake2b":
+            digest8 = lambda b: hashlib.blake2b(b, digest_size=8).digest()  # noqa: E731
+        else:
+            digest8 = lambda b: hashlib.md5(b).digest()[:8]  # noqa: E731
+        ws = re.compile(r"[ \t\n\f\r]+")
         out = np.empty(len(texts), dtype=np.int64)
         for j, text in enumerate(texts):
-            toks = [t for t in ws.split((text or "").strip().lower()) if t]
+            toks = [t for t in ws.split((text or "").strip(" ").lower()) if t]
             n_sh = max(len(toks) - shingle_n + 1, 1)
             digests = np.frombuffer(
                 b"".join(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + shingle_n]).encode(), digest_size=8
-                    ).digest()
-                    for i in range(n_sh)
+                    digest8(" ".join(toks[i : i + shingle_n]).encode()) for i in range(n_sh)
                 ),
                 dtype=np.uint8,
             ).reshape(n_sh, 8)
@@ -367,6 +379,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     pieces: int = 4,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate pairs within ``max_hamming`` bits of SimHash distance.
 
@@ -388,7 +401,8 @@ def simhash_near_pairs(
     mask = (1 << width) - 1
     sig = materialize_once(
         ensure_parallelism(df).select(
-            F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("sim")
+            F.col(id_col).alias("id"),
+            simhash64_udf(hash_fn=hash_fn)(F.col(text_col)).alias("sim"),
         )
     )
     chunks = [
