@@ -1259,8 +1259,9 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     "imbalance) -> sequence packing into 2000-char bins (q84 operator). "
     "Scale shape: three hash shuffles (dedup key / source / bucket) plus the "
     "bucketed applyInPandas, nothing global; the statistical near-dup tier "
-    "deliberately stays OUT of this query (its recall is not "
-    "oracle-expressible — see q75) and slots between dedup and strat in "
+    "deliberately stays OUT of this query (sub-1.0-threshold recall is not "
+    "oracle-expressible — q75 oracle-checks the J=1.0 planted composition "
+    "instead) and slots between dedup and strat in "
     "production",
     tags=("E1", "E5", "E7", "B31"),
 )

@@ -101,6 +101,15 @@ def test_ivf_empty_corpus(spark):
     assert [f.name for f in out.schema.fields] == ["query_id", "nbr_id", "cos_r", "rank"]
 
 
+def test_ivf_unknown_query_ids(spark):
+    """E4 edge: query ids absent from the corpus probe nothing and return an
+    empty result (the probe list is derived from the assigned corpus rows)."""
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = similarity.ivf_ann_topk(e, [999, 1000], k=3, n_clusters=4, n_probe=2)
+    assert out.collect() == []
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""
