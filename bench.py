@@ -265,19 +265,20 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
 
-    # min over two FULL passes of the corpus (not two back-to-back runs per
+    # min over three FULL passes of the corpus (not back-to-back runs per
     # query): the driver records one number, and this host shows intermittent
     # multi-second stall windows — back-to-back runs land in the same window,
     # while passes separated by minutes decorrelate, so the min is a much
-    # better estimate of the plan's true cost. Same total work either way.
-    # A soft wall-clock budget degrades gracefully to single-pass numbers if
+    # better estimate of the plan's true cost (round-4: single q56 runs
+    # swung 3-8 s across stall windows; a third pass materially tightens the
+    # min). A soft wall-clock budget degrades gracefully to fewer passes if
     # the host is storming, so the harness never outruns a caller's timeout.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     bench_t0 = time.perf_counter()
     names = [n for n in sorted(queries) if n not in SKIP]
     timings: dict[str, float] = dict.fromkeys(names, float("inf"))
     errors: dict[str, str] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             if _pass > 0 and time.perf_counter() - bench_t0 > budget_s:
                 break  # keep pass-1 numbers for the rest
