@@ -84,50 +84,6 @@ def bench_streaming(spark, n_events: int = 20000) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
-    """Watermarked tumbling-window aggregation throughput: replay n_events
-    (JSON file source, 4 files -> micro-batches) through S5+S6
-    (watermark + window groupBy) into a noop-equivalent memory sink;
-    returns events/sec. Unlike the CDC path there is no serial per-queue
-    drain — this measures the distributed stateful-agg path."""
-    import shutil
-    import tempfile
-    import uuid
-
-    from mrcond_spark.streaming import windows
-
-    tmp = tempfile.mkdtemp(prefix="bench-win-")
-    try:
-        events_dir = os.path.join(tmp, "events")
-        _write_event_files(events_dir, n_events)
-        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
-        agg = windows.tumbling_counts(stream, duration="5 minutes")
-        name = f"benchwin{uuid.uuid4().hex[:8]}"
-        t0 = time.perf_counter()
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        elapsed = time.perf_counter() - t0
-        if not finished:
-            q.stop()  # don't leave a live query writing into a dir we delete
-        # divide by events actually PROCESSED (sum of window counts in the
-        # complete-mode snapshot), not the nominal corpus size — a slow or
-        # partial run must not report inflated throughput
-        delivered = (
-            spark.sql(f"SELECT COALESCE(SUM(cnt), 0) AS c FROM {name}").collect()[0]["c"]
-        )
-        spark.catalog.dropTempView(name)
-        return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
 def _write_event_files(events_dir: str, n_events: int, ts_offset_s: int = 0) -> None:
     """4 JSON-line files of synthetic events (one micro-batch each under
     maxFilesPerTrigger-free availableNow draining)."""
@@ -158,29 +114,35 @@ def _write_event_files(events_dir: str, n_events: int, ts_offset_s: int = 0) -> 
 EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
 
 
-def bench_session_stream(spark, n_events: int = 100_000) -> float:
-    """S7 throughput: gap-based session windows per user over the replayed
-    event stream (memory sink, complete mode); returns events/sec. Session
-    windows are the heaviest stateful-agg shape (merge-on-overlap state, not
-    fixed buckets), so this bounds the custom-sessionization path."""
+def _stream_bench(
+    spark,
+    prefix: str,
+    make_stream,
+    output_mode: str,
+    count_expr: str,
+    events_total: int,
+    divide_by_count: bool,
+) -> float:
+    """Shared memory-sink harness for the streaming throughput benches:
+    availableNow drain into a uuid-named memory table, honesty rules applied
+    uniformly — either divide by what actually LANDED in the snapshot
+    (``divide_by_count=True``: stateful aggs, where partial output is still
+    honest work/sec), or require a finished drain with non-empty output and
+    divide by the nominal input (joins, where output size != input size) and
+    report 0.0 otherwise rather than an inflated figure."""
     import shutil
     import tempfile
     import uuid
 
-    from mrcond_spark.streaming import windows
-
-    tmp = tempfile.mkdtemp(prefix="bench-sess-")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     try:
-        events_dir = os.path.join(tmp, "events")
-        _write_event_files(events_dir, n_events)
-        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
-        agg = windows.session_counts(stream, gap="5 minutes")
-        name = f"benchsess{uuid.uuid4().hex[:8]}"
+        agg = make_stream(tmp)
+        name = f"bench{uuid.uuid4().hex[:8]}"
         t0 = time.perf_counter()
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -188,59 +150,73 @@ def bench_session_stream(spark, n_events: int = 100_000) -> float:
         finished = q.awaitTermination(300)
         elapsed = time.perf_counter() - t0
         if not finished:
-            q.stop()
-        # same honesty rule as the windowed bench: divide by events actually
-        # aggregated into the snapshot, not the nominal corpus size
-        delivered = spark.sql(f"SELECT COALESCE(SUM(cnt), 0) AS c FROM {name}").collect()[0]["c"]
+            q.stop()  # don't leave a live query writing into a dir we delete
+        counted = spark.sql(f"SELECT {count_expr} AS c FROM {name}").collect()[0]["c"]
         spark.catalog.dropTempView(name)
-        return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
+        if divide_by_count:
+            return round(counted / elapsed, 1) if elapsed > 0 else 0.0
+        if not finished or counted == 0 or elapsed <= 0:
+            return 0.0
+        return round(events_total / elapsed, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_windowed_stream(spark, n_events: int = 100_000) -> float:
+    """Watermarked tumbling-window aggregation throughput (S5+S6): replay
+    n_events through watermark + window groupBy; events/sec over what the
+    complete-mode snapshot actually aggregated. Unlike the CDC path there is
+    no serial per-queue drain — this measures the distributed stateful-agg
+    path."""
+    from mrcond_spark.streaming import windows
+
+    def make(tmp: str):
+        events_dir = os.path.join(tmp, "events")
+        _write_event_files(events_dir, n_events)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
+        return windows.tumbling_counts(stream, duration="5 minutes")
+
+    return _stream_bench(
+        spark, "bench-win-", make, "complete", "COALESCE(SUM(cnt), 0)", n_events, True
+    )
+
+
+def bench_session_stream(spark, n_events: int = 100_000) -> float:
+    """S7 throughput: gap-based session windows per user. Session windows are
+    the heaviest stateful-agg shape (merge-on-overlap state, not fixed
+    buckets), so this bounds the custom-sessionization path."""
+    from mrcond_spark.streaming import windows
+
+    def make(tmp: str):
+        events_dir = os.path.join(tmp, "events")
+        _write_event_files(events_dir, n_events)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
+        return windows.session_counts(stream, gap="5 minutes")
+
+    return _stream_bench(
+        spark, "bench-sess-", make, "complete", "COALESCE(SUM(cnt), 0)", n_events, True
+    )
 
 
 def bench_stream_stream_join(spark, n_events_per_side: int = 50_000) -> float:
     """S10 throughput: watermarked stream-stream join (15-minute bounded
-    range on user_id) between two replayed event streams; returns INPUT
-    events/sec (both sides). The right side is the left shifted +30 s, so
-    every left row has at least one in-range match — output row count is
-    asserted non-zero, and an unfinished drain reports 0 rather than an
-    inflated figure."""
-    import shutil
-    import tempfile
-    import uuid
-
+    range on user_id); INPUT events/sec (both sides). The right side is the
+    left shifted +30 s, so every left row has at least one in-range match —
+    the harness requires a finished drain with non-zero matches."""
     from mrcond_spark.streaming import windows
 
-    tmp = tempfile.mkdtemp(prefix="bench-ssj-")
-    try:
+    def make(tmp: str):
         _write_event_files(os.path.join(tmp, "left"), n_events_per_side)
         _write_event_files(os.path.join(tmp, "right"), n_events_per_side, ts_offset_s=30)
         left = spark.readStream.schema(EVENT_SCHEMA).json(os.path.join(tmp, "left"))
         right = spark.readStream.schema(EVENT_SCHEMA).json(os.path.join(tmp, "right"))
-        joined = windows.stream_stream_join(left, right, key="user_id").select(
+        return windows.stream_stream_join(left, right, key="user_id").select(
             F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
         )
-        name = f"benchssj{uuid.uuid4().hex[:8]}"
-        t0 = time.perf_counter()
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        elapsed = time.perf_counter() - t0
-        if not finished:
-            q.stop()
-        matched = spark.sql(f"SELECT COUNT(*) AS c FROM {name}").collect()[0]["c"]
-        spark.catalog.dropTempView(name)
-        if not finished or matched == 0:
-            return 0.0
-        return round((2 * n_events_per_side) / elapsed, 1)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    return _stream_bench(
+        spark, "bench-ssj-", make, "append", "COUNT(*)", 2 * n_events_per_side, False
+    )
 
 
 def main() -> None:
@@ -284,16 +260,18 @@ def main() -> None:
                 break  # keep pass-1 numbers for the rest
             t0 = time.perf_counter()
             # one broken query must not cost the round its whole BENCH
-            # artifact — record the failure and keep timing the rest
+            # artifact — record the failure and keep timing the rest. A query
+            # is "errored" only while NO pass has produced a timing: a later
+            # success clears an earlier error, and a later failure does not
+            # taint an earlier success (either way n_queries + n_errors
+            # stays exactly the corpus size).
             try:
                 queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
-                errors[name] = f"{type(e).__name__}: {e}"[:120]
+                if timings[name] == float("inf"):
+                    errors[name] = f"{type(e).__name__}: {e}"[:120]
                 continue
             timings[name] = min(timings[name], time.perf_counter() - t0)
-            # a pass-1 failure that succeeds on a later pass DID complete:
-            # keep the valid timing, drop the stale error (else n_queries +
-            # n_errors over-counts the corpus and misreports the query)
             errors.pop(name, None)
     timings = {n: round(v, 3) for n, v in timings.items() if v != float("inf")}
 

@@ -60,8 +60,10 @@ def register(
 #: rotates OUT twelve redundant variants whose operators keep another green
 #: representative in the window and whose own green verdicts are already on
 #: record in CORRECTNESS_r01–r03 (q07 q42 q44 q45 q46 q51 q52 q53 q55 q74
-#: q92 q83). Still never driver-checked after round 4: q93 q94 q95
-#: (oracle-bearing — rotate in round 5) and q56 q62 (rows-only by design).
+#: q92 q83). Still never driver-checked after round 4: q93 q94 q95 q56 q75
+#: q62 — ALL oracle-bearing since the round-4 upgrades (q56 planted
+#: neighbor, q75 planted removal at J=1.0, q62 full-output SQL SimHash) —
+#: rotate all six into round 5's window.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

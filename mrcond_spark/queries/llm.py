@@ -30,6 +30,17 @@ PINNED_VEC_IDS = [1, 2, 3, 4, 5]
 PLANT_OFFSET = 1 << 60
 
 
+def plant_duplicates(df: DataFrame, id_col: str, pred) -> DataFrame:
+    """Union ``df`` with a re-tagged copy of the rows matching ``pred``: the
+    id gains the ``PLANT_OFFSET`` tag bit, every other column is untouched.
+    The ONE Spark-side planting implementation — each query's oracle states
+    the same subset with the literal ``{PLANT_OFFSET}`` in its SQL, so the
+    lockstep surface is this function plus one f-string per oracle."""
+    return df.unionByName(
+        df.filter(pred).withColumn(id_col, F.col(id_col) + F.lit(PLANT_OFFSET))
+    )
+
+
 # --------------------------------------------------------------------------
 # E1 — exact dedup
 # --------------------------------------------------------------------------
@@ -270,10 +281,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
-    )
-    pairs = dedup.minhash_lsh_pairs(d.unionByName(planted))
+    pairs = dedup.minhash_lsh_pairs(plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0))
     return (
         pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b")
@@ -307,10 +315,9 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    corpus = plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    corpus = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
     # 5 hash tables: the OR-amplified candidate-join cost scales with
     # tables x corpus; 5 keeps planted-dup recall >= 0.9 (tested) at ~60% of
     # the 8-table join cost
@@ -339,10 +346,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
-    )
-    pairs = dedup.simhash_pairs(d.unionByName(planted))
+    pairs = dedup.simhash_pairs(plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0))
     return (
         pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b")
@@ -442,10 +446,8 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q49(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    planted = e.filter(F.col("vec_id").isin(PINNED_VEC_IDS)).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
-    )
-    topk = similarity.lsh_ann_topk(e.unionByName(planted), PINNED_VEC_IDS, k=3)
+    corpus = plant_duplicates(e, "vec_id", F.col("vec_id").isin(PINNED_VEC_IDS))
+    topk = similarity.lsh_ann_topk(corpus, PINNED_VEC_IDS, k=3)
     return (
         topk.filter(F.col("rank") == 1)
         .select("query_id", "nbr_id", "cos_r", "rank")
@@ -476,10 +478,8 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q56(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    planted = e.filter(F.col("vec_id").isin(PINNED_VEC_IDS)).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
-    )
-    topk = similarity.ivf_ann_topk(e.unionByName(planted), PINNED_VEC_IDS, k=3)
+    corpus = plant_duplicates(e, "vec_id", F.col("vec_id").isin(PINNED_VEC_IDS))
+    topk = similarity.ivf_ann_topk(corpus, PINNED_VEC_IDS, k=3)
     return (
         topk.filter(F.col("rank") == 1)
         .select("query_id", "nbr_id", "cos_r", "rank")
@@ -510,10 +510,8 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    planted = e.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
-    )
-    pairs = similarity.embedding_near_dup_pairs(e.unionByName(planted), threshold=0.95)
+    corpus = plant_duplicates(e, "vec_id", F.col("vec_id") % 50 == 0)
+    pairs = similarity.embedding_near_dup_pairs(corpus, threshold=0.95)
     return (
         pairs.filter(F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
         .select("id_a", "id_b", "cos_r")
@@ -778,10 +776,7 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q75(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "lang", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)
-    )
-    corpus = d.unionByName(planted)
+    corpus = plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0)
     return (
         dedup.remove_near_dups(corpus, min_jaccard=1.0)
         .groupBy("lang")

@@ -25,7 +25,12 @@ def test_packaging_entry_points():
     `mrcond-spark` -> daemon.main and `mrcond-spark-batch` -> __main__.main)."""
     import importlib
     import pathlib
-    import tomllib
+
+    import pytest
+
+    # tomllib is 3.11+; the package supports 3.10, where this check (not the
+    # packaging itself) is simply skipped
+    tomllib = pytest.importorskip("tomllib")
 
     with open(pathlib.Path(__file__).parent.parent / "pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
