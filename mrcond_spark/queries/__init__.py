@@ -55,15 +55,17 @@ def register(
 #:
 #: ROTATION (round-3 judge directive): ~38 operator representatives stay
 #: fixed; the remaining ~12 slots rotate each round through queries that
-#: have never received a driver hash verdict. Round 4 rotates IN the 12
-#: oracle-bearing never-checked queries q57/q60/q61/q80/q81/q82/q85–q90 and
-#: rotates OUT twelve redundant variants whose operators keep another green
-#: representative in the window and whose own green verdicts are already on
-#: record in CORRECTNESS_r01–r03 (q07 q42 q44 q45 q46 q51 q52 q53 q55 q74
-#: q92 q83). Still never driver-checked after round 4: q93 q94 q95 q56 q75
-#: q62 — ALL oracle-bearing since the round-4 upgrades (q56 planted
-#: neighbor, q75 planted removal at J=1.0, q62 full-output SQL SimHash) —
-#: rotate all six into round 5's window.
+#: have never received a driver hash verdict. Round 4 rotates IN twelve
+#: never-checked queries — q57/q60/q61/q81/q82/q85/q87/q88/q90 plus the
+#: three upgraded this round from rows-only to hash-oracle-bearing (q56
+#: planted neighbor, q62 full-output SQL SimHash, q75 planted removal at
+#: J=1.0) so the round's headline upgrades get driver-grade verdicts
+#: immediately — and rotates OUT twelve redundant variants whose operators
+#: keep another green representative in the window and whose own green
+#: verdicts are already on record in CORRECTNESS_r01–r03 (q07 q42 q44 q45
+#: q46 q51 q52 q53 q55 q74 q92 q83). Still never driver-checked after
+#: round 4: q80 q86 q89 q93 q94 q95 — all oracle-bearing; rotate those six
+#: into round 5's window.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -115,15 +117,16 @@ PRIORITY: tuple[str, ...] = (
     "q57_mllib_minhash_pairs",  # E2 MLlib tier (planted oracle)
     "q60_quality_gate",       # E1/E5
     "q61_bpe_token_stats",    # E5
-    "q80_null_group_keys",    # B11/B25
     "q81_lateral_join",       # B28/B18
     "q82_forward_fill",       # B16/B25
     "q85_doc_chunks",         # E5/B26
-    "q86_tfidf_terms",        # E5
     "q87_pii_redaction",      # E5/B22
     "q88_decontamination",    # E2/E5
-    "q89_repetition_stats",   # E5
     "q90_mixture_weights",    # E5/B31
+    # the three rows-only -> hash-oracle upgrades of this round
+    "q56_ann_ivf",            # E4 IVF (planted-neighbor oracle)
+    "q62_simhash_near_pairs",  # E2 (full-output SQL SimHash oracle)
+    "q75_near_dup_removal",   # E1/E2 (planted removal at J=1.0)
 )
 
 
