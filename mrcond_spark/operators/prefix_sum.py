@@ -1,0 +1,74 @@
+"""Distributed running sum over a global order — no single-reducer window.
+
+A naive ``SUM(x) OVER (ORDER BY k)`` (no PARTITION BY) plans a
+single-partition Window: one reducer scans the entire table — the same
+scale-killer shape the distributed NTILE replaced (`ntile.py`). This
+operator computes the IDENTICAL running sum with every data-sized stage
+distributed, for the common case where the global order can be split into
+an order-aligned bucket column plus a within-bucket order:
+
+1. caller supplies ``bucket_col`` such that the global order equals
+   ``(bucket ASC, *order_cols ASC)`` — e.g. the first hex character of an
+   md5 ordering key (lowercase-hex string order == numeric order, so the
+   leading character IS an order-aligned 16-way split);
+2. per-bucket totals are collected to the driver (bounded: n_buckets rows,
+   never data-sized) and folded into cumulative offsets embedded as plan
+   literals;
+3. running sum = offset[bucket] + within-bucket window sum (Window
+   partitioned by the bucket — parallel across buckets).
+
+100 TB posture: one partial-agg shuffle for the totals, one bounded
+collect, one hash-partitioned window; no ``Exchange SinglePartition``
+anywhere (asserted corpus-wide in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Append ``out_col`` = SUM(value_col) over the global order
+    ``(bucket_col, *order_cols)``, rows unbounded-preceding..current.
+
+    ``order_cols`` must complete a total order within each bucket (include
+    a unique tiebreak key), and ``bucket_col``'s sort order must agree with
+    the global order by construction — the operator cannot check that.
+    Bucket count trades parallelism against the driver-side offset table;
+    16–256 is plenty (each bucket still fans out across tasks only for the
+    agg — the window itself runs one task per bucket, so pick n_buckets >=
+    target parallelism for the window stage).
+    """
+    totals = (
+        df.groupBy(bucket_col).agg(F.sum(value_col).alias("__t")).collect()
+    )
+    offsets: list[tuple[object, int]] = []
+    acc = 0
+    for row in sorted(totals, key=lambda r: r[bucket_col]):
+        offsets.append((row[bucket_col], acc))
+        acc += row["__t"] or 0
+
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for bk, off in offsets for x in (bk, off)]
+        )
+        base: Column = F.coalesce(
+            F.element_at(omap, F.col(bucket_col)), F.lit(0)
+        )
+    else:
+        base = F.lit(0)
+
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, base + F.sum(value_col).over(w))

@@ -1,0 +1,64 @@
+"""Property test: bucketed_running_sum == built-in global window SUM.
+
+The operator splits a global running sum into per-bucket windows plus
+driver-side literal offsets; this pins bit-equality against the
+single-reducer reference implementation across randomized shapes — empty
+input, one bucket, skewed buckets (all rows share a bucket), zero values,
+and duplicate order keys broken by the tiebreak column.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mrcond_spark.operators.prefix_sum import bucketed_running_sum
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    n_buckets=st.integers(min_value=1, max_value=16),
+    vmod=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bucketed_running_sum_equals_global_window(spark_global, n, n_buckets, vmod):
+    # bucket derived from the leading part of the order key, so the global
+    # order (bk, ord, tie) equals the order (ord, tie) — same contract as
+    # q97's leading-hex-char split of an md5 key.
+    df = spark_global.range(n).select(
+        F.col("id").alias("tie"),
+        ((F.col("id") * 37) % 100).alias("ord"),
+        (F.col("id") % vmod).alias("val"),
+    ).withColumn("bk", (F.col("ord") * n_buckets / 100).cast("int"))
+
+    w = (
+        Window.orderBy("ord", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = sorted(
+        map(tuple, df.withColumn("rs", F.sum("val").over(w)).collect())
+    )
+    actual = sorted(
+        map(
+            tuple,
+            bucketed_running_sum(
+                df, "bk", ["ord", "tie"], "val", out_col="rs"
+            ).collect(),
+        )
+    )
+    assert actual == expected
+
+
+def test_q97_plan_has_no_single_partition_exchange(spark_global):
+    """The whole point of the operator: the oracle's global SUM OVER (ORDER
+    BY) would plan Exchange SinglePartition; the Spark side must not."""
+    from mrcond_spark.queries import all_queries
+
+    df = all_queries()["q97_token_budget_cut"].spark(
+        spark_global, "/root/testdata/sf0.001"
+    )
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in text
