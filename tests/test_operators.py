@@ -595,3 +595,58 @@ def test_ewma_matches_pandas_reference(spark):
         ref = g["v"].ewm(alpha=0.3, adjust=False).mean()
         for (_, row), e in zip(g.iterrows(), ref):
             assert got[(k, row["o"])] == pytest.approx(e, abs=1e-12)
+
+
+def test_semantic_dedup_single_cluster_equals_all_pairs(spark):
+    """E2/E4 SemDeDup: with n_clusters=1 the within-cell self-join IS the
+    exact all-pairs verify, so planted near-identical vectors (cos > 0.99)
+    must all drop and independent vectors must all survive — no
+    cluster-boundary recall loss possible."""
+    import random
+
+    from mrcond_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=1).collect()
+    }
+    assert kept == set(range(30)), f"kept {sorted(kept)}"
+
+
+def test_semantic_dedup_clustered_recall_and_no_false_drops(spark):
+    """E2/E4 SemDeDup at the operating point (16 cells): perturbed planted
+    dups land in their origin's cell almost always (tiny perturbation moves
+    few argmins), so recall stays high; independent vectors never verify at
+    0.95 so nothing else drops."""
+    import random
+
+    from mrcond_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.005)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=16).collect()
+    }
+    assert set(range(60)) <= kept, "an original was falsely dropped"
+    survivors = {k for k in kept if k >= 1000}
+    assert len(survivors) <= 60 * 0.2, f"planted-dup recall too low: {sorted(survivors)}"
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from mrcond_spark.operators.similarity import semantic_dedup
+
+    e = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert semantic_dedup(e).collect() == []
