@@ -52,6 +52,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_against_reference(
+    new_df: DataFrame, ref_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``new_df`` whose normalized
+    text already exists in ``ref_df`` — the per-snapshot ingestion step of a
+    continuously-crawled corpus (the full-corpus re-dedup never reruns; each
+    new batch anti-joins the accumulated reference).
+
+    One anti join on the 256-bit content hash: both sides shuffle on a
+    uniform key (no skew), the reference side carries ONLY its hash column,
+    and with the reference stored as a hash-bucketed table the join is
+    shuffle-free on that side. Self-duplicates WITHIN the new batch are the
+    caller's ``exact_dedup`` step — this operator is strictly new-vs-old.
+    """
+    ref_hashes = ref_df.select(text_hash(F.col(text_col)).alias("__h")).distinct()
+    return (
+        new_df.withColumn("__h", text_hash(F.col(text_col)))
+        .join(ref_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array from whitespace-tokenized text (JVM-side).
 

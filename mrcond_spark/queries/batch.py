@@ -1857,3 +1857,40 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_active"))
         .orderBy("cohort", "k")
     )
+
+
+@register(
+    "q101_salted_aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="hot-key aggregation through the skew tier "
+    "(`operators/skew.salted_aggregate`): group on (event_type, salt) first "
+    "— each of the handful of mega-hot event types fans out across 32 "
+    "reducers — then combine the partials per key. The salt never reaches "
+    "the result, so the output is EXACTLY the plain GROUP BY (decimal "
+    "partials keep the double sum order-independent) and the query carries "
+    "a full hash oracle; two hash shuffles, the second over |keys| x salt "
+    "rows only",
+    tags=("B11",),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load(spark, sf, "events").select(
+        "event_type", "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[("count", "event_id", "n_events"), ("sum", "v", "sum_v")],
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+    ).orderBy("event_type")

@@ -1426,3 +1426,38 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select(
         "vec_id", F.col("label").cast("int").alias("label")
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# E1 — incremental dedup: new batch vs accumulated reference corpus
+# --------------------------------------------------------------------------
+@register(
+    "q100_incremental_dedup",
+    oracle="""
+    WITH ref AS (
+        SELECT DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT n.doc_id, n.source
+    FROM documents n
+    WHERE n.doc_id % 5 = 0
+      AND sha256(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g'))
+          NOT IN (SELECT h FROM ref)
+    ORDER BY n.doc_id
+    """,
+    doc="incremental exact dedup (`operators/dedup.dedup_against_reference`): "
+    "a new crawl batch (doc_id % 5 = 0) anti-joins the accumulated reference "
+    "corpus (doc_id % 2 = 0) on the normalized-text hash — the per-snapshot "
+    "ingestion step that lets a continuously-crawled corpus avoid full "
+    "re-dedup. The deterministic overlap (doc_id % 10 = 0 is in both sides "
+    "with identical text) guarantees the removal path executes. One anti "
+    "join on a uniform 256-bit key, reference side carries only its hash "
+    "column; hash-bucketed reference storage makes its side shuffle-free",
+    tags=("E1",),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    reference = d.filter(F.col("doc_id") % 2 == 0)
+    kept = dedup.dedup_against_reference(new_batch, reference)
+    return kept.select("doc_id", "source").orderBy("doc_id")

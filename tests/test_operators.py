@@ -650,3 +650,24 @@ def test_semantic_dedup_empty_corpus(spark):
 
     e = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
     assert semantic_dedup(e).collect() == []
+
+
+def test_dedup_against_reference_drops_only_known_texts(spark):
+    """E1 incremental tier: new-batch rows whose normalized text exists in
+    the reference drop (case/whitespace-insensitively); novel rows survive;
+    an empty reference drops nothing."""
+    from mrcond_spark.operators.dedup import dedup_against_reference
+
+    ref = spark.createDataFrame(
+        [(1, "Alpha beta  gamma"), (2, "delta")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "epsilon"), (12, "DELTA ")],
+        "doc_id LONG, text STRING",
+    )
+    kept = {r["doc_id"] for r in dedup_against_reference(new, ref).collect()}
+    assert kept == {11}
+    empty_ref = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert {
+        r["doc_id"] for r in dedup_against_reference(new, empty_ref).collect()
+    } == {10, 11, 12}
