@@ -139,7 +139,10 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         text.token_count(F.col("text")).alias("n_tokens"),
         _shuffle_key("seed97").alias("hk"),
-    ).withColumn("bk", F.substring("hk", 1, 1))
+    ).withColumn("bk", F.substring("hk", 1, 2))  # 256 order-aligned buckets:
+    # the window stage runs one task per bucket, so two hex chars keep it
+    # ahead of any realistic executor count while the offsets collect stays
+    # a bounded 256 rows
     cum = bucketed_running_sum(
         toked, "bk", ["hk", "doc_id"], "n_tokens", out_col="cum_tokens"
     )

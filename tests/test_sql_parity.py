@@ -74,6 +74,15 @@ DUAL_DIALECT = [
     "q48_simhash_pairs",
     "q54_embedding_near_dup",
     "q90_mixture_weights",
+    "q84_sequence_packing",  # WITH RECURSIVE runs in Spark 4 too
+    "q49_ann_lsh",
+    "q56_ann_ivf",
+    "q57_mllib_minhash_pairs",
+    "q74_dedup_clusters",
+    "q92_ewma_features",  # recursive-CTE EWMA
+    "q95_cohort_retention",
+    "q99_semantic_dedup",
+    "q101_salted_aggregate",
 ]
 
 
