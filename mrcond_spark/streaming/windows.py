@@ -81,6 +81,30 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, on: list[str]) -> Data
     return stream.join(F.broadcast(dim), on, "left")
 
 
+def stream_dedup_against_reference(
+    stream: DataFrame, reference: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """S9/E1 hybrid: drop streamed docs whose normalized text already exists
+    in a static reference corpus — the streaming counterpart of
+    ``operators.dedup.dedup_against_reference`` (a continuously-ingesting
+    crawl dedups each micro-batch against the accumulated corpus).
+
+    Stream-static LEFT ANTI joins are supported by Structured Streaming (the
+    static side is re-resolvable per micro-batch, so a reference REWRITTEN
+    between batches is picked up). The reference side reduces to its hash
+    column only; at scale store it hash-bucketed so the per-batch join
+    probes, not shuffles, the big side.
+    """
+    from ..operators.dedup import text_hash
+
+    ref_hashes = reference.select(text_hash(F.col(text_col)).alias("__h")).distinct()
+    return (
+        stream.withColumn("__h", text_hash(F.col(text_col)))
+        .join(ref_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 def stream_stream_join(
     left: DataFrame, right: DataFrame, key: str,
     left_ts: str = "ts", right_ts: str = "ts",

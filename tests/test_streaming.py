@@ -445,3 +445,27 @@ def test_raw_capture_replay_through_pipeline(spark, tmp_path):
     # the drop event must have flagged the query terminal (R7 clean stop)
     assert cq.terminal.is_set()
     MemoryPublisher.reset(name)
+
+
+def test_stream_dedup_against_reference(spark, tmp_path):
+    """S9/E1: streamed docs whose normalized text exists in the static
+    reference drop (case/whitespace-insensitively); novel docs pass through."""
+    d = str(tmp_path / "docs-json")
+    os.makedirs(d, exist_ok=True)
+    docs = [
+        (1, "alpha beta gamma"),   # duplicates ref 100 (case-folded)
+        (2, "epsilon zeta"),       # novel
+        (3, "DELTA  "),            # duplicates ref 101 (whitespace/case)
+        (4, "eta theta"),          # novel
+    ]
+    with open(os.path.join(d, "part0.json"), "w") as f:
+        for i, t in docs:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(d)
+    ref = spark.createDataFrame(
+        [(100, "Alpha beta  gamma"), (101, "delta")], "doc_id LONG, text STRING"
+    )
+    out = windows.stream_dedup_against_reference(stream, ref)
+    run_to_memory(spark, out, "sdedup", "append")
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect()}
+    assert kept == {2, 4}
