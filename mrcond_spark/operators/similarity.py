@@ -468,9 +468,15 @@ def semantic_dedup(
     )
     if centroids is None:
         return embeddings  # empty corpus: nothing to dedup
-    ids = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("id"),
-        cell_expr(centroids, F.col(vec_col)).alias("cell"),
+    # both self-join sides reference the assignment stage; compute it once
+    # (same materialize-once rationale as the LSH bucketize stage above —
+    # the (id, cell) frame is byte-small relative to re-running the argmin
+    # pass over the corpus per side)
+    ids = materialize_once(
+        ensure_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            cell_expr(centroids, F.col(vec_col)).alias("cell"),
+        )
     )
     x, y = ids.alias("x"), ids.alias("y")
     cand = (
