@@ -19,7 +19,9 @@ an order-aligned bucket column plus a within-bucket order:
 
 100 TB posture: one partial-agg shuffle for the totals, one bounded
 collect, one hash-partitioned window; no ``Exchange SinglePartition``
-anywhere (asserted corpus-wide in tests/test_plans.py).
+anywhere (explicitly asserted for q97 in tests/test_prefix_sum_property.py;
+the corpus-wide guard in tests/test_plans.py covers the related
+empty-partition-spec Window shape for every query).
 """
 
 from __future__ import annotations
@@ -46,29 +48,49 @@ def bucketed_running_sum(
     16–256 is plenty (each bucket still fans out across tasks only for the
     agg — the window itself runs one task per bucket, so pick n_buckets >=
     target parallelism for the window stage).
+
+    NULL semantics match the global window exactly: NULL values contribute
+    nothing, and a row whose whole prefix is NULL-valued gets NULL (SQL SUM
+    over zero non-null inputs) — hence the per-bucket non-null COUNT carried
+    alongside the sum offsets.
     """
     totals = (
-        df.groupBy(bucket_col).agg(F.sum(value_col).alias("__t")).collect()
+        df.groupBy(bucket_col)
+        .agg(F.sum(value_col).alias("__t"), F.count(value_col).alias("__c"))
+        .collect()
     )
-    offsets: list[tuple[object, int]] = []
+    offsets: list[tuple[object, int, int]] = []
     acc = 0
+    acc_cnt = 0
     for row in sorted(totals, key=lambda r: r[bucket_col]):
-        offsets.append((row[bucket_col], acc))
+        offsets.append((row[bucket_col], acc, acc_cnt))
         acc += row["__t"] or 0
+        acc_cnt += row["__c"]
 
     if offsets:
-        omap = F.create_map(
-            *[F.lit(x) for bk, off in offsets for x in (bk, off)]
+        sum_map = F.create_map(
+            *[F.lit(x) for bk, off, _ in offsets for x in (bk, off)]
+        )
+        cnt_map = F.create_map(
+            *[F.lit(x) for bk, _, cnt in offsets for x in (bk, cnt)]
         )
         base: Column = F.coalesce(
-            F.element_at(omap, F.col(bucket_col)), F.lit(0)
+            F.element_at(sum_map, F.col(bucket_col)), F.lit(0)
+        )
+        base_cnt: Column = F.coalesce(
+            F.element_at(cnt_map, F.col(bucket_col)), F.lit(0)
         )
     else:
         base = F.lit(0)
+        base_cnt = F.lit(0)
 
     w = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(out_col, base + F.sum(value_col).over(w))
+    running = base + F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    nonnull_so_far = base_cnt + F.count(value_col).over(w)
+    return df.withColumn(
+        out_col, F.when(nonnull_so_far > 0, running)  # else NULL, like SQL SUM
+    )

@@ -393,20 +393,36 @@ def embedding_near_dup_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    verified = _verify_cosine_pairs(embeddings, pairs, threshold, id_col, vec_col)
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round("cos", 4).cast("decimal(10,4)").cast("double").alias("cos_r"),
+    )
+
+
+def _verify_cosine_pairs(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-verify stage for candidate (id_a, id_b) pairs: join the
+    vectors back, Arrow-batched cosine, keep pairs >= threshold. The
+    candidate id-pair set is byte-small, so AQE would coalesce the
+    cosine-verify UDF to ~1 partition — the explicit repartition keeps the
+    verify stage parallel (user repartitions are AQE-exempt)."""
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos_udf = cosine_pairs_udf()
-    # the id-pair set is byte-small, so AQE coalesces it to ~1 partition —
-    # which would serialize the cosine-verify UDF; explicit repartition keeps
-    # the verify stage parallel (user repartitions are AQE-exempt)
     parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(parallelism)
     return (
-        pairs.join(va, "id_a")
+        cand.repartition(parallelism)
+        .join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", cos_udf(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).cast("decimal(10,4)").cast("double").alias("cos_r"))
     )
 
 
@@ -486,18 +502,7 @@ def semantic_dedup(
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos_udf = cosine_pairs_udf()
-    # candidate id-pairs are byte-small -> AQE would coalesce the verify UDF
-    # to ~1 partition; explicit repartition keeps it parallel (AQE-exempt)
-    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    pairs = (
-        cand.repartition(parallelism)
-        .join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos_udf(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+    pairs = _verify_cosine_pairs(embeddings, cand, threshold, id_col, vec_col).select(
+        "id_a", "id_b"
     )
     return drop_non_representatives(embeddings, pairs, id_col)

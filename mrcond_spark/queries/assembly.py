@@ -128,8 +128,10 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     "ordering key is an order-aligned 16-way bucket split, per-bucket "
     "totals fold into literal offsets (bounded collect), the window runs "
     "partitioned per bucket — the oracle's global SUM OVER (ORDER BY) "
-    "single-reducer shape never appears in the Spark plan (guarded "
-    "corpus-wide in tests/test_plans.py)",
+    "single-reducer shape never appears in the Spark plan (explicit "
+    "Exchange-SinglePartition assertion in tests/test_prefix_sum_property.py; "
+    "the unpartitioned-Window guard in tests/test_plans.py covers every "
+    "query)",
     tags=("E5", "B16"),
 )
 def q97(spark: SparkSession, sf: str) -> DataFrame:

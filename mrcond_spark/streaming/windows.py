@@ -91,18 +91,13 @@ def stream_dedup_against_reference(
 
     Stream-static LEFT ANTI joins are supported by Structured Streaming (the
     static side is re-resolvable per micro-batch, so a reference REWRITTEN
-    between batches is picked up). The reference side reduces to its hash
-    column only; at scale store it hash-bucketed so the per-batch join
-    probes, not shuffles, the big side.
+    between batches is picked up). Delegates to the batch operator — the
+    identical DataFrame plan works unchanged on a streaming input, and the
+    normalization/anti-join semantics stay defined in exactly one place.
     """
-    from ..operators.dedup import text_hash
+    from ..operators.dedup import dedup_against_reference
 
-    ref_hashes = reference.select(text_hash(F.col(text_col)).alias("__h")).distinct()
-    return (
-        stream.withColumn("__h", text_hash(F.col(text_col)))
-        .join(ref_hashes, "__h", "left_anti")
-        .drop("__h")
-    )
+    return dedup_against_reference(stream, reference, text_col)
 
 
 def stream_stream_join(

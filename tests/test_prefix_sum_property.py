@@ -22,16 +22,22 @@ from mrcond_spark.operators.prefix_sum import bucketed_running_sum
     n=st.integers(min_value=0, max_value=300),
     n_buckets=st.integers(min_value=1, max_value=16),
     vmod=st.integers(min_value=1, max_value=40),
+    nullmod=st.integers(min_value=1, max_value=8),
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-def test_bucketed_running_sum_equals_global_window(spark_global, n, n_buckets, vmod):
+def test_bucketed_running_sum_equals_global_window(
+    spark_global, n, n_buckets, vmod, nullmod
+):
     # bucket derived from the leading part of the order key, so the global
     # order (bk, ord, tie) equals the order (ord, tie) — same contract as
-    # q97's leading-hex-char split of an md5 key.
+    # q97's leading-hex-char split of an md5 key. NULL values included
+    # (nullmod=1 makes EVERY value NULL): the operator must reproduce SQL
+    # SUM's NULL semantics — NULLs contribute nothing, and an all-NULL
+    # prefix yields NULL, including across bucket boundaries.
     df = spark_global.range(n).select(
         F.col("id").alias("tie"),
         ((F.col("id") * 37) % 100).alias("ord"),
-        (F.col("id") % vmod).alias("val"),
+        F.when(F.col("id") % nullmod != 0, F.col("id") % vmod).alias("val"),
     ).withColumn("bk", (F.col("ord") * n_buckets / 100).cast("int"))
 
     w = (
@@ -52,13 +58,11 @@ def test_bucketed_running_sum_equals_global_window(spark_global, n, n_buckets, v
     assert actual == expected
 
 
-def test_q97_plan_has_no_single_partition_exchange(spark_global):
+def test_q97_plan_has_no_single_partition_exchange(spark_global, sf_dir):
     """The whole point of the operator: the oracle's global SUM OVER (ORDER
     BY) would plan Exchange SinglePartition; the Spark side must not."""
     from mrcond_spark.queries import all_queries
 
-    df = all_queries()["q97_token_budget_cut"].spark(
-        spark_global, "/root/testdata/sf0.001"
-    )
+    df = all_queries()["q97_token_budget_cut"].spark(spark_global, sf_dir)
     text = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in text
