@@ -100,6 +100,44 @@ def stream_dedup_against_reference(
     return dedup_against_reference(stream, reference, text_col)
 
 
+def curate_stream(
+    stream: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming mirror of the q91 batch curation pipeline: quality gate
+    (token floor + >=30% unique tokens, stateless JVM filters) -> in-stream
+    exact dedup (``dropDuplicatesWithinWatermark`` on the normalized-text
+    hash — state bounded by the watermark) -> anti join against the static
+    accumulated corpus. Output rows are publication-ready curated docs.
+
+    State story at scale: the only stateful stage keys on a uniform 256-bit
+    hash and evicts past the watermark; the gate is stateless; the
+    reference join is per-micro-batch static. The batch pipeline's
+    mixture-cap and packing stages are deliberately absent — they need
+    corpus-global coordination and run downstream in batch over the
+    accumulated output.
+    """
+    from ..operators.dedup import dedup_against_reference, text_hash
+    from ..operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    gated = stream.filter(
+        (F.size(toks) >= min_tokens)
+        & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3)
+    )
+    deduped = (
+        gated.withColumn("__h", text_hash(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+    return dedup_against_reference(deduped, reference, text_col)
+
+
 def stream_stream_join(
     left: DataFrame, right: DataFrame, key: str,
     left_ts: str = "ts", right_ts: str = "ts",

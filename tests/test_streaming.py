@@ -469,3 +469,36 @@ def test_stream_dedup_against_reference(spark, tmp_path):
     run_to_memory(spark, out, "sdedup", "append")
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect()}
     assert kept == {2, 4}
+
+
+def test_curate_stream_pipeline(spark, tmp_path):
+    """Streaming curation composition: the low-quality doc (token floor),
+    the repeated-token doc (unique ratio), the in-stream duplicate, and the
+    reference duplicate all drop; the two novel quality docs survive."""
+    d = str(tmp_path / "curate-json")
+    os.makedirs(d, exist_ok=True)
+    good_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    good_b = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, "2024-01-01T00:00:01Z", good_a),                     # survives
+        (2, "2024-01-01T00:00:02Z", "too short"),                # token floor
+        (3, "2024-01-01T00:00:03Z", "spam " * 12),               # unique ratio
+        (4, "2024-01-01T00:00:04Z", good_a.upper()),             # in-stream dup of 1
+        (5, "2024-01-01T00:00:05Z", "ref known text " * 4),      # nope: ratio too... use distinct
+        (6, "2024-01-01T00:00:06Z", good_b),                     # survives
+        (7, "2024-01-01T00:00:07Z", "known alpha one beta two gamma three delta four epsilon"),  # reference dup
+    ]
+    with open(os.path.join(d, "part0.json"), "w") as f:
+        for i, ts, t in docs:
+            f.write(json.dumps({"doc_id": i, "ts": ts, "text": t}) + "\n")
+    stream = spark.readStream.schema("doc_id BIGINT, ts TIMESTAMP, text STRING").json(d)
+    ref = spark.createDataFrame(
+        [(100, "Known alpha one beta two gamma three delta four EPSILON")],
+        "doc_id LONG, text STRING",
+    )
+    out = windows.curate_stream(stream, ref)
+    run_to_memory(spark, out, "curated", "append")
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated").collect()}
+    # exactly one of the two same-normalized-text docs survives (which one is
+    # micro-batch-internal order, not a contract), plus the other novel doc
+    assert len(kept & {1, 4}) == 1 and 6 in kept and len(kept) == 2, kept
