@@ -53,7 +53,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def dedup_against_reference(
-    new_df: DataFrame, ref_df: DataFrame, text_col: str = "text"
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: drop rows of ``new_df`` whose normalized
     text already exists in ``ref_df`` — the per-snapshot ingestion step of a
@@ -65,13 +68,18 @@ def dedup_against_reference(
     and with the reference stored as a hash-bucketed table the join is
     shuffle-free on that side. Self-duplicates WITHIN the new batch are the
     caller's ``exact_dedup`` step — this operator is strictly new-vs-old.
+
+    ``hash_col`` names an ALREADY-computed ``text_hash`` column on
+    ``new_df`` (a caller that just deduped on the hash passes it instead of
+    paying the normalization + sha256 a second time); it is dropped from
+    the output either way.
     """
     ref_hashes = ref_df.select(text_hash(F.col(text_col)).alias("__h")).distinct()
-    return (
-        new_df.withColumn("__h", text_hash(F.col(text_col)))
-        .join(ref_hashes, "__h", "left_anti")
-        .drop("__h")
-    )
+    if hash_col is None:
+        keyed = new_df.withColumn("__h", text_hash(F.col(text_col)))
+    else:
+        keyed = new_df.withColumnRenamed(hash_col, "__h")
+    return keyed.join(ref_hashes, "__h", "left_anti").drop("__h")
 
 
 def shingles(col: Column, n: int = 3) -> Column:

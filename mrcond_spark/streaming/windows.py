@@ -130,12 +130,13 @@ def curate_stream(
         & (F.size(F.array_distinct(toks)) * 10 >= F.size(toks) * 3)
     )
     deduped = (
-        gated.withColumn("__h", text_hash(F.col(text_col)))
+        gated.withColumn("__th", text_hash(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__h"])
-        .drop("__h")
+        .dropDuplicatesWithinWatermark(["__th"])
     )
-    return dedup_against_reference(deduped, reference, text_col)
+    # hand the already-computed hash to the anti join — one normalization +
+    # sha256 per row, not two
+    return dedup_against_reference(deduped, reference, text_col, hash_col="__th")
 
 
 def stream_stream_join(

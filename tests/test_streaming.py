@@ -473,8 +473,8 @@ def test_stream_dedup_against_reference(spark, tmp_path):
 
 def test_curate_stream_pipeline(spark, tmp_path):
     """Streaming curation composition: the low-quality doc (token floor),
-    the repeated-token doc (unique ratio), the in-stream duplicate, and the
-    reference duplicate all drop; the two novel quality docs survive."""
+    the two repeated-token docs (unique ratio), the in-stream duplicate, and
+    the reference duplicate all drop; the two novel quality docs survive."""
     d = str(tmp_path / "curate-json")
     os.makedirs(d, exist_ok=True)
     good_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -484,7 +484,7 @@ def test_curate_stream_pipeline(spark, tmp_path):
         (2, "2024-01-01T00:00:02Z", "too short"),                # token floor
         (3, "2024-01-01T00:00:03Z", "spam " * 12),               # unique ratio
         (4, "2024-01-01T00:00:04Z", good_a.upper()),             # in-stream dup of 1
-        (5, "2024-01-01T00:00:05Z", "ref known text " * 4),      # nope: ratio too... use distinct
+        (5, "2024-01-01T00:00:05Z", "ref known text " * 4),      # unique ratio (3 of 12)
         (6, "2024-01-01T00:00:06Z", good_b),                     # survives
         (7, "2024-01-01T00:00:07Z", "known alpha one beta two gamma three delta four epsilon"),  # reference dup
     ]
