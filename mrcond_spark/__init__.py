@@ -7,7 +7,7 @@ declared in SURVEY.md §2:
 
 - ``mrcond_spark.session``    — SparkSession factory (AQE, Arrow, tuning)
 - ``mrcond_spark.catalog``    — parquet table loading / temp-view registry
-- ``mrcond_spark.queries``    — declared query corpus (Q01–Q101), DuckDB-oracle checked
+- ``mrcond_spark.queries``    — declared query corpus (Q01–Q102), DuckDB-oracle checked
 - ``mrcond_spark.operators``  — as-of join, dedup (exact/MinHash/SimHash), similarity
   search (exact + LSH ANN), text analysis, multimodal column plumbing
 - ``mrcond_spark.streaming``  — CDC envelope, sources, queue sinks, checkpointed

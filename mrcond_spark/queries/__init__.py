@@ -66,8 +66,8 @@ def register(
 #: q46 q51 q52 q53 q55 q74 q92 q83). Still never driver-checked after
 #: round 4: q80 q86 q89 q93 q94 q95, plus the corpus-assembly queries added
 #: late in round 4 (q96 q97 q98, queries/assembly.py; q99 SemDeDup; q100
-#: incremental dedup; q101 salted aggregate) — all oracle-bearing;
-#: rotate those twelve into round 5's window.
+#: incremental dedup; q101 salted aggregate; q102 OHLC time bars) — all
+#: oracle-bearing; rotate those thirteen into round 5's window.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

@@ -1894,3 +1894,58 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_v").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "q102_time_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open_v,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close_v,
+           ROUND(MAX(value), 6) AS high_v,
+           ROUND(MIN(value), 6) AS low_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY event_type, bar
+    ORDER BY event_type, bar_ts
+    """,
+    doc="OHLC time-bar resampling (the hypertable continuous-aggregate "
+    "shape): hourly open/high/low/close per event_type, open/close as "
+    "min_by/max_by over the (ts, event_id) total order — ONE partial-agg "
+    "shuffle on (type, bar), no window in the Spark plan (the oracle's "
+    "double ROW_NUMBER is the SQL equivalent; min_by/max_by fold the same "
+    "selection into the hash aggregate, which is the plan that survives "
+    "100 TB of events). Ties on ts are broken by event_id on both sides",
+    tags=("B11", "B23"),
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bar"))
+        .agg(
+            F.min_by(F.col("value"), order_key).alias("o"),
+            F.max_by(F.col("value"), order_key).alias("c"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+            F.round("o", 6).alias("open_v"),
+            F.round("c", 6).alias("close_v"),
+            F.round("h", 6).alias("high_v"),
+            F.round("l", 6).alias("low_v"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
