@@ -72,3 +72,37 @@ def pack_next_fit(
         "bin_seq",
         F.col("__size").alias(size_col),
     )
+
+
+def apply_repeat_factors(
+    df: DataFrame,
+    weight_col: str,
+    out_col: str = "repeat_idx",
+    max_repeat: int = 100,
+) -> DataFrame:
+    """Upsampling by integer repeat factors — the second half of mixture
+    rebalancing (downsampling is the q93 hash-threshold resample; weights
+    above 1 become row REPEATS, the standard epoch-repeat treatment of
+    under-represented domains in training-data mixtures).
+
+    Each row appears ``floor(weight)`` times (weight < 1 drops the row —
+    fractional keep probabilities belong to the deterministic hash resample,
+    not here) with ``out_col`` numbering the copies 1..n so downstream
+    shuffles can tell them apart. ``max_repeat`` clamps runaway weights: an
+    upstream weighting bug multiplies corpus size by at most that factor
+    instead of without bound.
+
+    100 TB shape: explode(sequence(...)) is a narrow transformation — rows
+    amplify in place with NO shuffle; the output feeds the deterministic
+    shard shuffle (q96) which spreads the copies uniformly.
+    """
+    rep = F.least(
+        F.greatest(F.floor(F.col(weight_col)).cast("int"), F.lit(0)),
+        F.lit(max_repeat),
+    )
+    return (
+        df.withColumn("__rep", rep)
+        .filter(F.col("__rep") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .drop("__rep")
+    )

@@ -671,3 +671,20 @@ def test_dedup_against_reference_drops_only_known_texts(spark):
     assert {
         r["doc_id"] for r in dedup_against_reference(new, empty_ref).collect()
     } == {10, 11, 12}
+
+
+def test_apply_repeat_factors(spark):
+    """Mixture upsampling: floor(weight) copies per row, numbered 1..n;
+    weight < 1 drops the row; max_repeat clamps runaway weights."""
+    from mrcond_spark.operators.packing import apply_repeat_factors
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0), (3, 3.7), (4, 1000.0)], "doc_id LONG, w DOUBLE"
+    )
+    out = apply_repeat_factors(df, "w", max_repeat=5).collect()
+    counts = {}
+    for r in out:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    assert counts == {2: 1, 3: 3, 4: 5}
+    idx = sorted(r["repeat_idx"] for r in out if r["doc_id"] == 3)
+    assert idx == [1, 2, 3]
