@@ -52,6 +52,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-``score_col`` duplicate (tie: min id)
+    instead of the min-id one — the production variant where duplicates
+    differ in provenance quality (e.g. keep the copy from the cleanest
+    source, or the longest extraction).
+
+    Same scale shape as ``exact_dedup``: one shuffle on the uniform 256-bit
+    content hash, the per-group selection folds into the hash aggregate via
+    ``max_by`` (no window, no second pass). Returns full surviving rows.
+    """
+    key = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    return (
+        df.withColumn("__h", text_hash(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.max_by(F.struct(*df.columns), key).alias("__best"))
+        .select("__best.*")
+    )
+
+
 def dedup_against_reference(
     new_df: DataFrame,
     ref_df: DataFrame,

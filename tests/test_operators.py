@@ -688,3 +688,23 @@ def test_apply_repeat_factors(spark):
     assert counts == {2: 1, 3: 3, 4: 5}
     idx = sorted(r["repeat_idx"] for r in out if r["doc_id"] == 3)
     assert idx == [1, 2, 3]
+
+
+def test_exact_dedup_keep_best(spark):
+    """Quality-aware exact dedup: the highest-score duplicate survives with
+    its full row; min id breaks score ties; non-duplicates pass through."""
+    from mrcond_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", 0.2, "crawl"),
+            (2, "Alpha  BETA", 0.9, "curated"),   # same normalized text, better score
+            (3, "gamma", 0.5, "crawl"),
+            (4, "GAMMA ", 0.5, "crawl"),           # tie on score -> min id (3) wins
+            (5, "delta", 0.1, "crawl"),
+        ],
+        "doc_id LONG, text STRING, score DOUBLE, source STRING",
+    )
+    kept = {r["doc_id"]: r["source"] for r in exact_dedup_keep_best(df, "score").collect()}
+    assert set(kept) == {2, 3, 5}
+    assert kept[2] == "curated"
