@@ -117,3 +117,48 @@ def doc_fingerprint_from_tokens(
         lambda i: shingle_hash(F.concat_ws(" ", F.slice(tok_col, i + 1, window))),
     )
     return F.array_min(shingle_hashes)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram novelty: the share of a doc's distinct word n-grams
+    first seen in THAT doc, scanning the corpus in ``id_col`` (ingestion)
+    order — the dedup-adjacent crawl metric whose collapse flags a source
+    that has started re-serving old content. Returns
+    ``(id_col, n_grams, n_novel, novelty_bp)`` with novelty in basis points.
+
+    Two data-sized stages, both safe at scale: one shuffle on the gram for
+    first-occurrence (map-side partial MIN bounds hot grams), and one
+    gram-keyed join back — a gram is novel iff its global first occurrence
+    IS this doc. Requires ``id_col`` to be unique (ties would make "first"
+    ambiguous). Shingling reuses the Arrow-batched dedup shingler.
+    """
+    from .dedup import shingle_udf
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingle_udf(n)(F.col(text_col)))).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("__id").alias("first_seen"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_seen") == F.col("__id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.floor(10000 * F.col("n_novel") / F.col("n_grams"))
+            .cast("bigint")
+            .alias("novelty_bp"),
+        )
+    )

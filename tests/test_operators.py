@@ -708,3 +708,22 @@ def test_exact_dedup_keep_best(spark):
     kept = {r["doc_id"]: r["source"] for r in exact_dedup_keep_best(df, "score").collect()}
     assert set(kept) == {2, 3, 5}
     assert kept[2] == "curated"
+
+
+def test_ngram_novelty(spark):
+    """Novelty in ingestion order: the first doc is fully novel, an exact
+    repeat is fully stale, a half-overlapping doc lands in between."""
+    from mrcond_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 3 distinct 3-grams, all novel
+            (2, "a b c d e"),          # exact repeat -> novelty 0
+            (3, "c d e f g"),          # "c d e" seen (doc 1); "d e f", "e f g" novel
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty_bp"] == 10000 and out[1]["n_grams"] == 3
+    assert out[2]["novelty_bp"] == 0
+    assert out[3]["n_novel"] == 2 and out[3]["novelty_bp"] == 6666
