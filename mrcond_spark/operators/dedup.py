@@ -65,15 +65,19 @@ def exact_dedup_keep_best(
 
     Same scale shape as ``exact_dedup``: one shuffle on the uniform 256-bit
     content hash, the per-group selection folds into the hash aggregate via
-    ``max_by`` (no window, no second pass). Returns full surviving rows.
+    ``min_by`` over the key ``(-score, id)`` (no window, no second pass) —
+    minimizing the negated score maximizes the score, and the tie falls to
+    the struct's second field, so ``id_col`` may be ANY orderable type
+    (string doc ids included); only ``score_col`` must be numeric. Returns
+    full surviving rows.
     """
     key = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        (-F.col(score_col)).alias("negs"), F.col(id_col).alias("id")
     )
     return (
         df.withColumn("__h", text_hash(F.col(text_col)))
         .groupBy("__h")
-        .agg(F.max_by(F.struct(*df.columns), key).alias("__best"))
+        .agg(F.min_by(F.struct(*df.columns), key).alias("__best"))
         .select("__best.*")
     )
 

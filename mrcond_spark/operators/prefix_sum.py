@@ -17,9 +17,10 @@ an order-aligned bucket column plus a within-bucket order:
 3. running sum = offset[bucket] + within-bucket window sum (Window
    partitioned by the bucket — parallel across buckets).
 
-100 TB posture: one partial-agg shuffle for the totals, one bounded
-collect, one hash-partitioned window; no ``Exchange SinglePartition``
-anywhere (explicitly asserted for q97 in tests/test_prefix_sum_property.py;
+100 TB posture: TWO passes over the input lineage (the totals job and the
+window job — collapse to one stored read with ``materialize=True``), one
+partial-agg shuffle for the totals, one bounded collect, one
+hash-partitioned window; no ``Exchange SinglePartition`` anywhere (explicitly asserted for q97 in tests/test_prefix_sum_property.py;
 the corpus-wide guard in tests/test_plans.py covers the related
 empty-partition-spec Window shape for every query).
 """
@@ -37,6 +38,7 @@ def bucketed_running_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "running_sum",
+    materialize: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = SUM(value_col) over the global order
     ``(bucket_col, *order_cols)``, rows unbounded-preceding..current.
@@ -44,21 +46,44 @@ def bucketed_running_sum(
     ``order_cols`` must complete a total order within each bucket (include
     a unique tiebreak key), and ``bucket_col``'s sort order must agree with
     the global order by construction — the operator cannot check that.
+    ``bucket_col`` must be NON-NULL on every row (raised as ``ValueError``):
+    a NULL bucket has no defined place in the bucket-aligned global order.
     Bucket count trades parallelism against the driver-side offset table;
     16–256 is plenty (each bucket still fans out across tasks only for the
     agg — the window itself runs one task per bucket, so pick n_buckets >=
     target parallelism for the window stage).
 
-    NULL semantics match the global window exactly: NULL values contribute
-    nothing, and a row whose whole prefix is NULL-valued gets NULL (SQL SUM
-    over zero non-null inputs) — hence the per-bucket non-null COUNT carried
-    alongside the sum offsets.
+    EAGER + SNAPSHOT CONTRACT: unlike most operators in this package, the
+    per-bucket totals job runs HERE, at construction time (the offsets must
+    become plan literals), and the returned DataFrame embeds that snapshot —
+    if the input changes between construction and execution the result mixes
+    two snapshots. Cost accounting: the input lineage runs twice (once for
+    the totals job, once under the window job) unless ``materialize=True``,
+    which localCheckpoints the input so both jobs read stored blocks —
+    choose per the repo's measured recompute-vs-materialize rule (cheap
+    narrow lineage like tokenize+hash: recompute; wide/expensive lineage:
+    materialize).
+
+    NULL semantics (of ``value_col``) match the global window exactly: NULL
+    values contribute nothing, and a row whose whole prefix is NULL-valued
+    gets NULL (SQL SUM over zero non-null inputs) — hence the per-bucket
+    non-null COUNT carried alongside the sum offsets.
     """
+    if materialize:
+        from . import materialize_once
+
+        df = materialize_once(df)
     totals = (
         df.groupBy(bucket_col)
         .agg(F.sum(value_col).alias("__t"), F.count(value_col).alias("__c"))
         .collect()
     )
+    if any(r[bucket_col] is None for r in totals):
+        raise ValueError(
+            f"bucketed_running_sum: bucket_col {bucket_col!r} contains NULLs; "
+            "a NULL bucket has no defined position in the bucket-aligned "
+            "global order — filter or coalesce it first"
+        )
     offsets: list[tuple[object, int, int]] = []
     acc = 0
     acc_cnt = 0

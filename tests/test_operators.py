@@ -710,6 +710,26 @@ def test_exact_dedup_keep_best(spark):
     assert kept[2] == "curated"
 
 
+def test_exact_dedup_keep_best_string_ids(spark):
+    """The tiebreak must work for NON-numeric ids (the previous -id negation
+    assumed numeric and failed analysis on strings): tie on score -> lexical
+    min id wins."""
+    from mrcond_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("doc-b", "alpha beta", 0.5),
+            ("doc-a", "ALPHA  beta", 0.5),   # tie -> 'doc-a' (lexical min)
+            ("doc-c", "gamma delta", 0.9),
+            ("doc-d", "Gamma  DELTA", 0.2),  # lower score loses to doc-c
+            ("doc-z", "unique", 0.1),
+        ],
+        "doc_id STRING, text STRING, score DOUBLE",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_best(df, "score").collect())
+    assert kept == ["doc-a", "doc-c", "doc-z"]
+
+
 def test_ngram_novelty(spark):
     """Novelty in ingestion order: the first doc is fully novel, an exact
     repeat is fully stale, a half-overlapping doc lands in between."""

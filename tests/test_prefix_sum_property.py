@@ -58,6 +58,38 @@ def test_bucketed_running_sum_equals_global_window(
     assert actual == expected
 
 
+def test_null_bucket_raises_clear_error(spark_global):
+    """A NULL bucket has no defined position in the bucket-aligned global
+    order (and used to crash the driver-side sorted() with a bare TypeError,
+    or worse, coalesce to offset 0). The documented contract is an explicit
+    ValueError at construction."""
+    import pytest
+
+    df = spark_global.range(10).select(
+        F.col("id").alias("tie"),
+        F.col("id").alias("ord"),
+        F.lit(1).alias("val"),
+        F.when(F.col("id") % 3 != 0, (F.col("id") % 2).cast("string")).alias("bk"),
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        bucketed_running_sum(df, "bk", ["ord", "tie"], "val")
+
+
+def test_materialize_option_matches_recompute(spark_global):
+    """materialize=True (single stored read of the input lineage) must be
+    value-identical to the default two-scan path."""
+    df = spark_global.range(100).select(
+        F.col("id").alias("tie"),
+        ((F.col("id") * 37) % 100).alias("ord"),
+        (F.col("id") % 7).alias("val"),
+    ).withColumn("bk", (F.col("ord") / 25).cast("int"))
+    base = sorted(map(tuple, bucketed_running_sum(
+        df, "bk", ["ord", "tie"], "val").collect()))
+    mat = sorted(map(tuple, bucketed_running_sum(
+        df, "bk", ["ord", "tie"], "val", materialize=True).collect()))
+    assert base == mat
+
+
 def test_q97_plan_has_no_single_partition_exchange(spark_global, sf_dir):
     """The whole point of the operator: the oracle's global SUM OVER (ORDER
     BY) would plan Exchange SinglePartition; the Spark side must not."""

@@ -41,6 +41,26 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_content_salt_is_layout_independent(spark):
+    """The salt must be a pure function of row content: reshuffling the input
+    into a different partition layout must assign every row the SAME salt
+    (seeded rand — the previous implementation — fails this: it is
+    deterministic only per partition index)."""
+    from mrcond_spark.operators.skew import content_salt
+
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 113).alias("v")
+    )
+    layouts = [base.repartition(1), base.repartition(37, "v"), base.coalesce(3)]
+    salted = [
+        {(r["k"], r["v"]): r["s"] for r in
+         df.withColumn("s", content_salt(["k", "v"], 16)).collect()}
+        for df in layouts
+    ]
+    assert salted[0] == salted[1] == salted[2]
+    assert set(salted[0].values()) == set(range(16))  # spreads across all buckets
+
+
 def test_salted_aggregate_rejects_non_algebraic():
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_aggregate(None, ["k"], [("avg", "v", "a")])
