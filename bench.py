@@ -280,10 +280,16 @@ def main() -> None:
     # The driver records only the LAST ~2000 chars of stdout and json-parses
     # the final line. 82 full query names blow that budget (round-2 artifact:
     # parsed=null, line truncated mid-key). So: full-name breakdown goes to
-    # stderr for humans; stdout carries exactly ONE compact line (short qNN
-    # keys, 2-decimal secs, ~1.4 KB) that always survives the tail window.
+    # stderr for humans; stdout carries exactly ONE compact line that always
+    # survives the tail window: bare query numbers as keys (the "q" prefix
+    # carries no information), 2-decimal secs under 10 s / 1-decimal above,
+    # and compact JSON separators (no spaces). Round-5 re-compaction: 96+
+    # queries at the round-4 format hit ~1915 of the ~1900-char budget.
     print(json.dumps({"queries_full": timings, "errors": errors}), file=sys.stderr)
-    compact = {n.split("_", 1)[0]: round(v, 2) for n, v in timings.items()}
+    compact = {
+        n.split("_", 1)[0].lstrip("q"): round(v, 2 if v < 10 else 1)
+        for n, v in timings.items()
+    }
     # Streaming throughput: the first replay pays one-time stream-planning +
     # state-store + Python-worker costs that a long-running CDC daemon never
     # re-pays, so warm with a small replay and report the best of N timed
@@ -331,7 +337,8 @@ def main() -> None:
                 # LAST on purpose: round artifacts keep only the tail of this
                 # line, and this is the one-number round-over-round compare
                 "total_wall_s": total,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -53,21 +53,23 @@ def register(
 #: any hard correctness signal). Redundant variants sort last; the builder's
 #: own oracle suite (tests/test_oracle.py) still checks every query.
 #:
-#: ROTATION (round-3 judge directive): ~38 operator representatives stay
-#: fixed; the remaining ~12 slots rotate each round through queries that
-#: have never received a driver hash verdict. Round 4 rotates IN twelve
-#: never-checked queries — q57/q60/q61/q81/q82/q85/q87/q88/q90 plus the
-#: three upgraded this round from rows-only to hash-oracle-bearing (q56
-#: planted neighbor, q62 full-output SQL SimHash, q75 planted removal at
-#: J=1.0) so the round's headline upgrades get driver-grade verdicts
-#: immediately — and rotates OUT twelve redundant variants whose operators
-#: keep another green representative in the window and whose own green
-#: verdicts are already on record in CORRECTNESS_r01–r03 (q07 q42 q44 q45
-#: q46 q51 q52 q53 q55 q74 q92 q83). Still never driver-checked after
-#: round 4: q80 q86 q89 q93 q94 q95, plus the corpus-assembly queries added
-#: late in round 4 (q96 q97 q98, queries/assembly.py; q99 SemDeDup; q100
-#: incremental dedup; q101 salted aggregate; q102 OHLC time bars) — all
-#: oracle-bearing; rotate those thirteen into round 5's window.
+#: ROTATION (round-3 judge directive): ~33 operator representatives stay
+#: fixed; the remaining slots rotate each round through queries that have
+#: never received a driver hash verdict. Round 5 rotates IN seventeen:
+#: the thirteen oracle-bearing queries that had never been driver-checked
+#: after round 4 (q80 q86 q89 q93 q94 q95 + the round-4 additions q96 q97
+#: q98 q99 q100 q101 q102), the three NEW round-5 queries giving the
+#: newest operators declared oracles (q103 keep-best dedup, q104
+#: repeat-factor upsampling, q105 n-gram novelty), and q13 (cube +
+#: GROUPING()/grouping_id columns — SURVEY B13 cites GROUPING() explicitly;
+#: q12, the previous B13 representative, does not carry them). Rotated OUT
+#: seventeen, every one with a green driver verdict on record (r1–r4) and
+#: every affected operator keeping an in-window representative: the twelve
+#: round-4 slots (q57 q60 q61 q81 q82 q85 q87 q88 q90 q56 q62 q75 — all
+#: first-time green in CORRECTNESS_r04) plus q12 (B13 -> q13), q16 (B16 ->
+#: q97), q22 (B23 -> q94/q95/q102), q24 (B25 -> q80), q25 (B26 -> q104).
+#: After round 5 every oracle-bearing query in the corpus has a driver
+#: verdict on record.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -82,29 +84,22 @@ PRIORITY: tuple[str, ...] = (
     "q09_theta_join",         # B9
     "q31_asof_join",          # B10
     "q11_count_distinct",     # B12
-    "q12_rollup",             # B13
+    "q13_cube_grouping",      # B13 (cube + GROUPING()/grouping_id; green r1–r3)
     "q28_having",             # B14
     "q15_topk_per_group",     # B15
-    "q16_analytic_window",    # B16
     "q17_topk",               # B17/B18
     "q18_union",              # B19
-    "q19_intersect",          # B20 (EXCEPT variant q20 is outside the window —
-    #                           B20 keeps one representative; the freed slot
-    #                           carries the curation-pipeline composition,
-    #                           which the brief grades first-class)
+    "q19_intersect",          # B20 (EXCEPT variant q20 green r1–r2)
     "q91_curation_pipeline",  # E1+E5+E7+B31 end-to-end composition
     "q27_distinct",           # B21
     "q21_string_funcs",       # B22
-    "q22_date_funcs",         # B23
     "q23_math_funcs",         # B24
-    "q24_conditional",        # B25
-    "q25_array_funcs",        # B26
     "q26_json_funcs",         # B27
     "q29_subquery",           # B28
     "q30_cte",                # B29
     "q32_approx_count_distinct",  # B30 (rows-only by design; no exact oracle exists)
     # NOT q33 (B31 seeded sample, rows-only): B31's hard signal comes from
-    # oracle-bearing variants (q83 green r3; q90 in-window this round)
+    # oracle-bearing variants (q83 green r3; q90 green r4; q93 in-window)
     "q84_sequence_packing",   # E5/E7 training-batch assembly (recursive-CTE oracle)
     # LLM-pipeline tier: every E1–E7 operator inside the window
     "q40_exact_dedup",        # E1
@@ -114,21 +109,24 @@ PRIORITY: tuple[str, ...] = (
     "q48_simhash_pairs",      # E2
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
-    "q54_embedding_near_dup",  # E2
-    # round-4 rotation slots: first-ever driver verdicts for these twelve
-    "q57_mllib_minhash_pairs",  # E2 MLlib tier (planted oracle)
-    "q60_quality_gate",       # E1/E5
-    "q61_bpe_token_stats",    # E5
-    "q81_lateral_join",       # B28/B18
-    "q82_forward_fill",       # B16/B25
-    "q85_doc_chunks",         # E5/B26
-    "q87_pii_redaction",      # E5/B22
-    "q88_decontamination",    # E2/E5
-    "q90_mixture_weights",    # E5/B31
-    # the three rows-only -> hash-oracle upgrades of this round
-    "q56_ann_ivf",            # E4 IVF (planted-neighbor oracle)
-    "q62_simhash_near_pairs",  # E2 (full-output SQL SimHash oracle)
-    "q75_near_dup_removal",   # E1/E2 (planted removal at J=1.0)
+    "q54_embedding_near_dup",  # E2/E4
+    # round-5 rotation slots: first-ever driver verdicts for these sixteen
+    "q80_null_group_keys",    # B11/B25 (also the window's B25 representative)
+    "q86_tfidf_terms",        # E5
+    "q89_repetition_stats",   # E5
+    "q93_mixture_rebalance",  # E5/B31
+    "q94_event_funnel",       # B11/B23
+    "q95_cohort_retention",   # B11/B23
+    "q96_training_shards",    # E5 deterministic shard shuffle
+    "q97_token_budget_cut",   # E5/B16 distributed prefix sum
+    "q98_vocab_growth",       # E5 Heaps-law audit
+    "q99_semantic_dedup",     # E2/E4 SemDeDup (planted-removal oracle)
+    "q100_incremental_dedup",  # E1 new-batch vs reference anti join
+    "q101_salted_aggregate",  # B11 skew-salted two-phase agg
+    "q102_time_bars",         # B11/B23 OHLC min_by/max_by bars
+    "q103_keep_best_dedup",   # E1 quality-aware keep-best (new this round)
+    "q104_repeat_upsample",   # E5/B26 repeat-factor upsampling (new this round)
+    "q105_ngram_novelty",     # E5 n-gram novelty metric (new this round)
 )
 
 

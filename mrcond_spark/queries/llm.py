@@ -1461,3 +1461,139 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     reference = d.filter(F.col("doc_id") % 2 == 0)
     kept = dedup.dedup_against_reference(new_batch, reference)
     return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# E1 — quality-aware exact dedup (keep the best-scored duplicate)
+# --------------------------------------------------------------------------
+@register(
+    "q103_keep_best_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET}, text, source
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    scored AS (
+        SELECT doc_id, source, doc_id % 97 AS score,
+               sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT doc_id, source, score,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="quality-aware exact dedup (`operators/dedup.exact_dedup_keep_best`): "
+    "the HIGHEST-scored duplicate survives with its full row (tie: min id) — "
+    "the production variant where duplicates differ in provenance quality. "
+    "Duplicates planted from the corpus itself (every 4th doc re-tagged "
+    "id+2^60) with a deterministic score = id % 97, so each planted pair has "
+    "two distinct scores (2^60 % 97 = 22 != 0) and the winner is fixed by "
+    "data, not layout. One shuffle on the uniform 256-bit content hash; "
+    "selection folds into the hash aggregate via min_by on (-score, id) — "
+    "no window, no second pass (the oracle's ROW_NUMBER shape is DuckDB-side "
+    "only)",
+    tags=("E1",),
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text", "source")
+    corpus = plant_duplicates(d, "doc_id", F.col("doc_id") % 4 == 0)
+    scored = corpus.withColumn("score", F.col("doc_id") % 97)
+    kept = dedup.exact_dedup_keep_best(scored, "score")
+    return kept.select(
+        "doc_id", "source", F.col("score").cast("bigint").alias("score")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# E5 — repeat-factor upsampling (mixture rebalancing, upweight half)
+# --------------------------------------------------------------------------
+@register(
+    "q104_repeat_upsample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               least(greatest(CAST(floor((doc_id % 5) + 0.7) AS INT), 0), 3) AS rep
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, rep)) AS BIGINT) AS repeat_idx
+    FROM w
+    ORDER BY doc_id, repeat_idx
+    """,
+    doc="repeat-factor upsampling (`operators/packing.apply_repeat_factors`): "
+    "each doc appears floor(weight) times (weight<1 drops the row — "
+    "fractional keeps belong to the q93 hash resample), numbered 1..n in "
+    "repeat_idx, clamped at max_repeat=3 (the runaway-weight guard). The "
+    "deterministic weight (doc_id % 5) + 0.7 exercises drop (weight 0.7), "
+    "plain repeats, and the clamp (weight 4.7 -> 3) in one query. "
+    "explode(sequence(...)) is a narrow transformation — rows amplify in "
+    "place with NO shuffle; the oracle mirrors it with a generate_series "
+    "unnest",
+    tags=("E5", "B26"),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import apply_repeat_factors
+
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    weighted = d.withColumn("w", (F.col("doc_id") % 5) + F.lit(0.7))
+    out = apply_repeat_factors(weighted, "w", max_repeat=3)
+    return out.select(
+        "doc_id", "source", F.col("repeat_idx").cast("bigint").alias("repeat_idx")
+    ).orderBy("doc_id", "repeat_idx")
+
+
+# --------------------------------------------------------------------------
+# E5 — per-doc n-gram novelty over the ingestion order
+# --------------------------------------------------------------------------
+@register(
+    "q105_ngram_novelty",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(lower(trim(text)), '\\s+')[i],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                        string_split_regex(lower(trim(text)), '\\s+')[i+2])
+                 )
+               ) AS sh
+        FROM documents
+    ),
+    grams AS (SELECT doc_id, unnest(sh) AS g FROM toked),
+    firsts AS (SELECT g, MIN(doc_id) AS first_seen FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT gr.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_seen = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM grams gr JOIN firsts f USING (g)
+        GROUP BY gr.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(FLOOR(10000 * n_novel / n_grams) AS BIGINT) AS novelty_bp
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="per-doc 3-gram novelty over the ingestion order "
+    "(`operators/text.ngram_novelty`): the share of a doc's distinct word "
+    "3-grams whose global FIRST occurrence is that doc — the crawl metric "
+    "whose collapse flags a source re-serving old content. Two data-sized "
+    "stages, both scale-safe: one gram-keyed shuffle for first-occurrence "
+    "(map-side partial MIN bounds hot grams) and one gram-keyed join back; "
+    "the shingler is the Arrow-batched dedup shingler whose tokenization "
+    "the q55 oracle already proved hash-identical to this DuckDB form",
+    tags=("E5",),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    out = text.ngram_novelty(load(spark, sf, "documents"), n=3)
+    return out.orderBy("doc_id")
