@@ -119,6 +119,70 @@ def doc_fingerprint_from_tokens(
     return F.array_min(shingle_hashes)
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token pairs. Returns ``(w1, w2, c_pair, pmi)`` for every
+    within-doc adjacent bigram occurring at least ``min_count`` times,
+    with ``pmi = ln(p(w1,w2) / (p(w1) p(w2)))`` over corpus-total bigram /
+    unigram distributions — the standard phrase-detection signal a
+    tokenizer-training or boilerplate-mining pass computes.
+
+    Determinism: counts are exact integers in any engine; the single
+    float expression is evaluated on identical inputs with an identical
+    operation tree, so results agree to the last ulp of ``ln`` — declared
+    queries round to 6 dp.
+
+    Scale shape (100 TB): tokenize + bigram expansion are narrow
+    (JVM ``split``/``transform``); then three hash aggregates — bigram
+    counts (keyed on the pair, map-side partials bound hot pairs),
+    unigram counts (vocab-sized), corpus totals (scalar) — and two joins
+    of the pair table against the vocab-sized unigram table on a single
+    token key. The scalar totals ride a broadcast; nothing collects.
+    """
+    toks = tokens(F.col(text_col))
+    # adjacent pairs via two shifted slices (ANSI-safe: no indexed access);
+    # n_adj = max(len-1, 0) makes 0- and 1-token docs yield empty pair lists
+    n_adj = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n_adj),
+                F.slice(toks, 2, n_adj),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    unigrams = df.select(F.explode(toks).alias("w"))
+
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    uni_counts = unigrams.groupBy("w").agg(F.count("*").alias("c_w"))
+    n_pairs = pairs.groupBy().agg(F.count("*").alias("n_pairs"))
+    n_toks = unigrams.groupBy().agg(F.count("*").alias("n_toks"))
+
+    c1 = uni_counts.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    c2 = uni_counts.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    out = (
+        pair_counts.filter(F.col("c_pair") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_toks))
+    )
+    # identical arithmetic tree in the DuckDB oracle: (c_pair*n_toks*n_toks)
+    # computed left-assoc in double, divided by (n_pairs*c_w1*c_w2)
+    pmi = F.log(
+        (F.col("c_pair").cast("double") * F.col("n_toks") * F.col("n_toks"))
+        / (F.col("n_pairs").cast("double") * F.col("c_w1") * F.col("c_w2"))
+    )
+    return out.select(
+        "w1", "w2", F.col("c_pair").cast("bigint").alias("c_pair"), pmi.alias("pmi")
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     n: int = 3,

@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ewma(
@@ -71,4 +72,50 @@ def ewma(
         *[F.col(f"__o{i}").alias(c) for i, c in enumerate(order_cols)],
         F.col("__v").alias(value_col),
         F.col("__e").alias(out_col),
+    )
+
+def time_weighted_average(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "twap",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation's value is
+    held until the NEXT observation and weighted by that holding interval —
+    the metric a last-observation-carried-forward series (sensor feeds,
+    prices, rate limits) aggregates to, where a plain ``avg`` over-weights
+    bursts.
+
+    Returns ``(key_col, n_intervals, out_col)``; keys with fewer than two
+    observations produce no row (no interval exists). ``tiebreak_col``
+    must make ``(ts, tiebreak)`` a total order per key — an ambiguous
+    order would make the interval assignment nondeterministic.
+
+    Determinism: intervals are exact integer microseconds
+    (``unix_micros``); each ``value * dt_us`` product is computed in
+    double (identical in any engine) and summed through per-term
+    ``DECIMAL(38,18)`` casts — exact, order-independent — so the final
+    double quotient is bit-identical to the SQL oracle's.
+
+    Scale shape (100 TB): ONE shuffle on the high-cardinality key for the
+    ``lead`` window, then a hash aggregate on the same key — AQE reuses
+    the partitioning, so the agg is shuffle-free. No collect, no Python.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    us = F.unix_micros(F.col(ts_col))
+    dt = (F.lead(us, 1).over(w) - us).alias("dt_us")
+    seg = df.select(F.col(key_col), F.col(value_col).cast("double").alias("__v"), dt).filter(
+        F.col("dt_us").isNotNull()
+    )
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            (
+                F.sum((F.col("__v") * F.col("dt_us")).cast("decimal(38,18)")).cast("double")
+                / F.sum(F.col("dt_us"))
+            ).alias(out_col),
+        )
     )

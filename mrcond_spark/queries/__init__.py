@@ -68,8 +68,10 @@ def register(
 #: round-4 slots (q57 q60 q61 q81 q82 q85 q87 q88 q90 q56 q62 q75 — all
 #: first-time green in CORRECTNESS_r04) plus q12 (B13 -> q13), q16 (B16 ->
 #: q97), q22 (B23 -> q94/q95/q102), q24 (B25 -> q80), q25 (B26 -> q104).
-#: After round 5 every oracle-bearing query in the corpus has a driver
-#: verdict on record.
+#: After round 5 every oracle-bearing query registered through round 4 has
+#: a driver verdict on record; the seven round-5 analytics additions
+#: (q106–q112, queries/analytics.py) are builder-oracle-green and are the
+#: natural round-6 rotation (7 in, 7 out of the green-on-record slots).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -132,7 +134,7 @@ PRIORITY: tuple[str, ...] = (
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import assembly, batch, llm, udf_surface  # noqa: F401
+    from . import analytics, assembly, batch, llm, udf_surface  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:

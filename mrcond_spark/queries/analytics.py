@@ -1,0 +1,416 @@
+"""Statistical / vector / graph analytics tier (round-5 additions).
+
+Seven declared queries extending SURVEY §2.2/§2.4 with the analytics a
+curation stack runs NEXT TO the relational core: single-pass statistical
+moments (B11/B24 companions), equi-width histograms, time-weighted
+averages, corpus collocation mining (E5), embedding-column maintenance
+(E3/E4 companions: centroids + quantization audit), and link-analysis
+PageRank over a contracted graph (the source-quality scoring signal).
+
+Every query carries a full DuckDB hash oracle. Cross-engine float
+discipline (same rules as the rest of the corpus): exact integer counts;
+double expressions evaluated on identical inputs with identical operation
+trees; order-dependent double SUMS routed through per-term
+``DECIMAL(38,*)`` casts (exact, commutative) — outputs rounded only to
+absorb the documented last-ulp sources (``ln``/``sqrt``/libm vs JVM).
+
+Reference parity note: f-squirrel/mrcond is a CDC connector with no batch
+surface (SURVEY §1); this module belongs to the mandated north-star
+extension, same as queries/llm.py and queries/assembly.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.graph import pagerank
+from ..operators.text import pmi_collocations
+from ..operators.timeseries import time_weighted_average
+from ..operators.vector import embedding_centroids, quantize_embeddings
+from . import register
+
+
+# --------------------------------------------------------------------------
+# single-pass statistical moments (B11/B24 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q106_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_pq
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="correlation / covariance / stddev / least-squares regression per "
+    "return flag — all algebraic co-moment aggregates, so Spark computes "
+    "them in ONE partial->final hash aggregate pass (no second scan, no "
+    "window). 100 TB: map-side partials bound every reducer at "
+    "|groups| x constant; co-moment merge order varies by partitioning, so "
+    "outputs are rounded to absorb last-ulp drift (both engines run the "
+    "same Welford-style single-pass update)",
+    tags=("B11", "B24"),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("icept_pq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-group embedding centroids (E3/E4 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q107_embedding_centroids",
+    oracle="""
+    WITH el AS (
+        SELECT label,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ), per_dim AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*) AS a,
+               COUNT(*) AS n
+        FROM el GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(SQRT(CAST(SUM(CAST(a * a AS DECIMAL(38,30))) AS DOUBLE)), 6) AS c_norm,
+           ROUND(MAX(CASE WHEN pos = 1 THEN a END), 6) AS c_d0,
+           ROUND(MAX(CASE WHEN pos = 17 THEN a END), 6) AS c_d16,
+           ROUND(MAX(CASE WHEN pos = 33 THEN a END), 6) AS c_d32,
+           ROUND(MAX(CASE WHEN pos = 49 THEN a END), 6) AS c_d48
+    FROM per_dim GROUP BY label ORDER BY label
+    """,
+    doc="per-label centroid of the embedding column "
+    "(`operators/vector.embedding_centroids`): posexplode is narrow; the "
+    "one data-sized shuffle is the (label, pos) hash aggregate whose "
+    "map-side partials collapse each partition to |labels| x dims rows — "
+    "hot labels cannot skew reducers. Averages go through exact "
+    "DECIMAL(38,30) sums (order-independent) so the centroid, its L2 norm "
+    "(decimal-fold of squares), and the probed dimensions hash-match the "
+    "oracle bit-for-bit",
+    tags=("E3", "E4", "B26"),
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    cent = embedding_centroids(emb, group_col="label", vec_col="embedding")
+    dec0 = F.lit(0).cast("decimal(38,30)")
+    # accumulator re-cast per step: Spark's decimal addition caps at
+    # precision 38 by dropping a scale digit; the reintroduced per-step
+    # rounding (<= 64e-29) is far below the 6-dp display rounding
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"),
+            dec0,
+            lambda acc, a: (acc + (a * a).cast("decimal(38,30)")).cast("decimal(38,30)"),
+        ).cast("double")
+    )
+    return cent.select(
+        "label",
+        "n_vecs",
+        F.round(norm, 6).alias("c_norm"),
+        F.round(F.element_at("centroid", 1), 6).alias("c_d0"),
+        F.round(F.element_at("centroid", 17), 6).alias("c_d16"),
+        F.round(F.element_at("centroid", 33), 6).alias("c_d32"),
+        F.round(F.element_at("centroid", 49), 6).alias("c_d48"),
+    ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (E5)
+# --------------------------------------------------------------------------
+@register(
+    "q108_pmi_collocations",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS l
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), pc AS (
+        SELECT w1, w2, COUNT(*) AS c_pair FROM pairs GROUP BY w1, w2
+    ), uc AS (
+        SELECT w, COUNT(*) AS c_w FROM tok GROUP BY w
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+               (SELECT COUNT(*) FROM tok) AS n_toks
+    )
+    SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+           ROUND(LN((CAST(c_pair AS DOUBLE) * n_toks * n_toks)
+                    / (CAST(n_pairs AS DOUBLE) * u1.c_w * u2.c_w)), 6) AS pmi6
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.w
+    JOIN uc u2 ON pc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c_pair >= 5
+    ORDER BY pmi6 DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="top-20 adjacent-bigram collocations by pointwise mutual "
+    "information (`operators/text.pmi_collocations`) — the phrase-mining "
+    "signal tokenizer training runs corpus-wide. Tokenize + pair expansion "
+    "are narrow JVM expressions; three hash aggregates (pair counts with "
+    "map-side partials, vocab-sized unigram counts, scalar totals riding a "
+    "broadcast) and two single-key joins against the vocab table. Counts "
+    "are exact integers; the one float expression uses an identical "
+    "operation tree in both engines (ln differs by <= 1 ulp -> round 6); "
+    "the (pmi6 DESC, w1, w2) total order makes the LIMIT deterministic",
+    tags=("E5", "B18"),
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    out = pmi_collocations(docs, text_col="text", min_count=5)
+    return (
+        out.select("w1", "w2", "c_pair", F.round("pmi", 6).alias("pmi6"))
+        .orderBy(F.col("pmi6").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram via width_bucket (B24/B25 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q109_acctbal_histogram",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM (
+        SELECT c_acctbal,
+               CASE WHEN c_acctbal < -1000.0 THEN 0
+                    WHEN c_acctbal >= 10000.0 THEN 12
+                    ELSE 1 + CAST(FLOOR((c_acctbal - (-1000.0)) / 1000.0) AS BIGINT)
+               END AS bucket
+        FROM customer
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="11-bucket equi-width histogram of customer balances via Spark's "
+    "width_bucket built-in (bounds chosen so the bucket width is the exact "
+    "double 1000.0 — the oracle's floor-arithmetic emulation is then "
+    "bit-identical; DuckDB has no width_bucket). Single partial-agg "
+    "shuffle on a bounded key; min/max are order-independent so the raw "
+    "doubles hash-match unrounded",
+    tags=("B24", "B25", "B11"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    return (
+        cust.select(
+            "c_acctbal",
+            F.width_bucket("c_acctbal", F.lit(-1000.0), F.lit(10000.0), F.lit(11)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# time-weighted average (B16/B23 companion; q102 OHLC's sibling)
+# --------------------------------------------------------------------------
+@register(
+    "q110_twap",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,18))) AS DOUBLE)
+                 / SUM(dt_us), 6) AS twap
+    FROM seg WHERE dt_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="per-user time-weighted average of the event value "
+    "(`operators/timeseries.time_weighted_average`): each value held until "
+    "the next event, weighted by exact integer microseconds. ONE shuffle "
+    "on the high-cardinality user key for the lead window; the downstream "
+    "hash agg reuses that partitioning (no second exchange). Each "
+    "value*dt product is an identical double in both engines; the sum "
+    "runs through per-term DECIMAL(38,18) casts so the quotient is "
+    "bit-stable before the 6-dp display rounding",
+    tags=("B16", "B23", "B11"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    out = time_weighted_average(
+        ev, key_col="user_id", ts_col="ts", value_col="value", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id", "n_intervals", F.round("twap", 6).alias("twap")
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantization audit (E3/E4 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q111_vector_quantize",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               (CAST(list_max(embedding) AS DOUBLE)
+                - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+               len(embedding) AS n,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), err AS (
+        SELECT vec_id, n,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE v - (mn + ROUND((v - mn) / scale, 0) * scale)
+               END AS e
+        FROM el
+    )
+    SELECT vec_id,
+           ROUND(SQRT(CAST(SUM(CAST(e * e AS DECIMAL(38,30))) AS DOUBLE) / MAX(n)), 9)
+             AS rmse9,
+           ROUND(MAX(ABS(e)), 9) AS max_err9
+    FROM err GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="per-vector int8 scalar-quantization reconstruction audit "
+    "(`operators/vector.quantize_embeddings`): the storage-shrink decision "
+    "data (4x smaller vectors) an embedding store makes needs exactly this "
+    "error distribution. Spark side is entirely NARROW — array min/max/"
+    "transform/decimal-fold in whole-stage codegen, zero shuffles (the "
+    "oracle unnests; decimal sums are order-independent so both routes "
+    "agree exactly; sqrt/display rounded to 9 dp)",
+    tags=("E3", "E4", "B26"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    out = quantize_embeddings(emb, vec_col="embedding", levels=255)
+    return out.select(
+        "vec_id",
+        F.round("q_rmse", 9).alias("rmse9"),
+        F.round("q_max_abs_err", 9).alias("max_err9"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# weighted PageRank over the contracted supply graph (graph tier)
+# --------------------------------------------------------------------------
+@register(
+    "q112_nation_pagerank",
+    oracle="""
+    WITH e AS (
+        SELECT s.s_nationkey AS u, c.c_nationkey AS v, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), nodes AS (
+        SELECT u AS node FROM e UNION SELECT v FROM e
+    ), params AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), outw AS (
+        SELECT u, SUM(w) AS out_w FROM e GROUP BY u
+    ), share AS (
+        SELECT e.u, e.v, e.w / o.out_w AS share FROM e JOIN outw o ON e.u = o.u
+    ), r0 AS (
+        SELECT node, 1.0 / p.n AS rank FROM nodes CROSS JOIN params p
+    ), r1 AS (
+        SELECT nd.node,
+               ((1.0 - 0.85) / p.n)
+                 + 0.85 * COALESCE(CAST(t.in_sum AS DOUBLE), 0.0) AS rank
+        FROM nodes nd CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.v AS node, SUM(CAST(r.rank * s.share AS DECIMAL(38,30))) AS in_sum
+            FROM share s JOIN r0 r ON s.u = r.node GROUP BY s.v
+        ) t ON nd.node = t.node
+    ), r2 AS (
+        SELECT nd.node,
+               ((1.0 - 0.85) / p.n)
+                 + 0.85 * COALESCE(CAST(t.in_sum AS DOUBLE), 0.0) AS rank
+        FROM nodes nd CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.v AS node, SUM(CAST(r.rank * s.share AS DECIMAL(38,30))) AS in_sum
+            FROM share s JOIN r1 r ON s.u = r.node GROUP BY s.v
+        ) t ON nd.node = t.node
+    ), r3 AS (
+        SELECT nd.node,
+               ((1.0 - 0.85) / p.n)
+                 + 0.85 * COALESCE(CAST(t.in_sum AS DOUBLE), 0.0) AS rank
+        FROM nodes nd CROSS JOIN params p
+        LEFT JOIN (
+            SELECT s.v AS node, SUM(CAST(r.rank * s.share AS DECIMAL(38,30))) AS in_sum
+            FROM share s JOIN r2 r ON s.u = r.node GROUP BY s.v
+        ) t ON nd.node = t.node
+    )
+    SELECT r3.node AS nationkey, n.n_name, ROUND(r3.rank, 9) AS rank9
+    FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+    ORDER BY nationkey
+    """,
+    doc="3-iteration weighted PageRank over the supplier-nation -> "
+    "customer-nation trade graph (`operators/graph.pagerank`) — the "
+    "source-quality link-analysis signal, run on a CONTRACTED graph the "
+    "way a crawl scores domains (contract pages -> domains first, then "
+    "iterate on the small graph). The data-sized work is the edge "
+    "aggregation (three equi-joins + one hash agg, AQE-planned); each "
+    "iteration is a join + agg on the node id with per-term "
+    "DECIMAL(38,30) sums, so the fixed-iteration ranks are bit-identical "
+    "to the oracle's unrolled CTEs. materialize_once per round keeps the "
+    "iterative lineage flat (components-loop rule)",
+    tags=("B4", "B11", "E5"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, src="src", dst="dst", weight="w", iterations=3, damping=0.85)
+    return (
+        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
+        .select(
+            F.col("node").alias("nationkey"),
+            "n_name",
+            F.round("rank", 9).alias("rank9"),
+        )
+        .orderBy("nationkey")
+    )

@@ -124,6 +124,7 @@ _NONEQUI_OK = {
     "q86_tfidf_terms",  # 1-row corpus-size scalar broadcast-crossed into tf
     "q90_mixture_weights",  # 1-row (total, k) scalar broadcast-crossed into per-source aggs
     "q93_mixture_rebalance",  # same 1-row scalar cross into the per-source prob table
+    "q108_pmi_collocations",  # two 1-row corpus-total scalars broadcast-crossed into the pair table
 }
 
 
