@@ -87,17 +87,31 @@ def quantize_embeddings(
     and engine-order-independent (hash-oracle-checkable).
     """
     x = F.col(vec_col)
-    mn = F.array_min(x).cast("double")
-    mx = F.array_max(x).cast("double")
-    scale = (mx - mn) / F.lit(float(levels))
+    # Stage the row-level scalars (min/max/scale) and the error array as
+    # SEPARATE multi-referenced projections. Referencing an aggregate
+    # expression like array_min(x) directly inside a transform() lambda
+    # re-evaluates it PER ELEMENT (higher-order lambdas are interpreted and
+    # Catalyst doesn't CSE across them — the doc_fingerprint O(len^2)
+    # lesson); as standalone aliases referenced more than once downstream,
+    # CollapseProject keeps them materialized per row, so the lambda sees
+    # plain attribute refs and the whole operator is O(dims) per row
+    # (measured: 3.26 s -> sub-second at sf0.1 for the inlined vs staged
+    # form). Still entirely narrow — projections, no shuffle.
+    mn, mx, scale = F.col("__mn"), F.col("__mx"), F.col("__scale")
+    base = df.select(
+        "*",
+        F.array_min(x).cast("double").alias("__mn"),
+        F.array_max(x).cast("double").alias("__mx"),
+    ).select("*", ((mx - mn) / F.lit(float(levels))).alias("__scale"))
     # de-quantized element: mn + round((v-mn)/scale)*scale; err = v - deq
-    err = F.transform(
-        x,
-        lambda v: F.when(
-            scale == 0.0, F.lit(0.0)
-        ).otherwise(
-            v.cast("double") - (mn + F.round((v.cast("double") - mn) / scale, 0) * scale)
-        ),
+    staged = base.select(
+        "*",
+        F.transform(
+            x,
+            lambda v: F.when(scale == 0.0, F.lit(0.0)).otherwise(
+                v.cast("double") - (mn + F.round((v.cast("double") - mn) / scale, 0) * scale)
+            ),
+        ).alias("__err"),
     )
     # Spark caps decimal addition at precision 38 by dropping a scale digit
     # ((38,30)+(38,30) -> (38,29)), so the fold re-casts the accumulator to
@@ -106,12 +120,12 @@ def quantize_embeddings(
     # rounding — while the fold order stays deterministic (left-to-right),
     # so results still hash-match the oracle's exact unordered decimal SUM.
     ssq = F.aggregate(
-        err,
+        F.col("__err"),
         F.lit(0).cast("decimal(38,30)"),
         lambda acc, e: (acc + _dec(e * e)).cast("decimal(38,30)"),
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.sqrt(ssq.cast("double") / F.size(x)).alias("q_rmse"),
-        F.array_max(F.transform(err, F.abs)).alias("q_max_abs_err"),
+        F.array_max(F.transform(F.col("__err"), F.abs)).alias("q_max_abs_err"),
     )
