@@ -200,12 +200,23 @@ def ngram_novelty(
     gram-keyed join back — a gram is novel iff its global first occurrence
     IS this doc. Requires ``id_col`` to be unique (ties would make "first"
     ambiguous). Shingling reuses the Arrow-batched dedup shingler.
+
+    The gram table feeds BOTH branches, so it is materialized once rather
+    than re-running the Arrow shingle UDF per branch (measured A/B at
+    sf0.1, warm min: recompute 1.72 s vs materialize 1.25 s — the shuffle
+    survives either way; the saved work is the second UDF pass). At 100 TB
+    the materialization is O(corpus tokens) executor storage — a
+    production pipeline writes this stage to a table (materialize_once
+    contract), which is the same decision.
     """
+    from . import materialize_once
     from .dedup import shingle_udf
 
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingle_udf(n)(F.col(text_col)))).alias("g"),
+    grams = materialize_once(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(shingle_udf(n)(F.col(text_col)))).alias("g"),
+        )
     )
     firsts = grams.groupBy("g").agg(F.min("__id").alias("first_seen"))
     return (

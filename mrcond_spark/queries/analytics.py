@@ -1,11 +1,13 @@
 """Statistical / vector / graph analytics tier (round-5 additions).
 
-Seven declared queries extending SURVEY §2.2/§2.4 with the analytics a
+Ten declared queries extending SURVEY §2.2/§2.4 with the analytics a
 curation stack runs NEXT TO the relational core: single-pass statistical
 moments (B11/B24 companions), equi-width histograms, time-weighted
 averages, corpus collocation mining (E5), embedding-column maintenance
-(E3/E4 companions: centroids + quantization audit), and link-analysis
-PageRank over a contracted graph (the source-quality scoring signal).
+(E3/E4 companions: centroids + quantization audit), link-analysis
+PageRank over a contracted graph (the source-quality scoring signal),
+Markov transition matrices over event sequences, df-gated inverted-index
+construction, and z-score standardization with an outlier audit.
 
 Every query carries a full DuckDB hash oracle. Cross-engine float
 discipline (same rules as the rest of the corpus): exact integer counts;
@@ -413,4 +415,186 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
             F.round("rank", 9).alias("rank9"),
         )
         .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# event-sequence Markov transition matrix (B15/B16 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q113_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR((10000.0 * COUNT(*)) / SUM(COUNT(*)) OVER (PARTITION BY cur))
+                AS BIGINT) AS p_bp
+    FROM pairs GROUP BY cur, nxt ORDER BY cur, nxt
+    """,
+    doc="per-user event-type transition matrix (the first-order Markov "
+    "model a session/sequence feature pipeline estimates): lead() over "
+    "each user's (ts, event_id)-ordered stream -> count per (cur, nxt) -> "
+    "row-normalized transition probability in exact integer basis points. "
+    "One shuffle on the high-cardinality user key for the lead window, one "
+    "hash agg on the bounded (cur, nxt) pair key, and a window over the "
+    "|event_types|-sized result — probabilities via floor(10000.0*n/total) "
+    "on exact integers, so the output is engine-exact with no rounding "
+    "tolerance at all",
+    tags=("B15", "B16", "B11"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    wc = Window.partitionBy("cur")
+    return (
+        pairs.groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cur",
+            "nxt",
+            F.col("cnt").cast("bigint").alias("n"),
+            F.floor((10000.0 * F.col("cnt")) / F.sum("cnt").over(wc))
+            .cast("bigint")
+            .alias("p_bp"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# --------------------------------------------------------------------------
+# inverted index with df-gated posting lists (E5 / IR surface)
+# --------------------------------------------------------------------------
+@register(
+    "q114_inverted_index",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ), vocab AS (
+        SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+        HAVING COUNT(*) BETWEEN 10 AND 100
+    )
+    SELECT v.token, CAST(v.df AS BIGINT) AS df,
+           array_to_string(list_sort(list(t.doc_id))[1:5], ',') AS postings_head
+    FROM vocab v JOIN tok t ON v.token = t.token
+    GROUP BY v.token, v.df
+    ORDER BY v.token
+    """,
+    doc="inverted-index build for mid-frequency terms (10 <= df <= 100): "
+    "the retrieval-side structure a search / RAG corpus materializes. The "
+    "SCALE-CRITICAL shape: document frequencies are computed FIRST (cheap "
+    "count aggregate with map-side partials), the df gate shrinks the "
+    "vocabulary, and only then are postings collected via a semi-filtering "
+    "join — so no executor ever collect_list()s a stop-word's full posting "
+    "list (the classic inverted-index OOM at 100 TB). Posting lists are "
+    "sorted doc_id arrays; output shows df + the first-5 head, "
+    "deterministic end to end",
+    tags=("E5", "B11", "B26"),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(10, 100))
+    )
+    return (
+        tok.join(vocab, "token")
+        .groupBy("token", "df")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(F.slice("postings", 1, 5), lambda x: x.cast("string")), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# z-score standardization + outlier audit (B11/B24 companion)
+# --------------------------------------------------------------------------
+@register(
+    "q115_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ), st AS (
+        SELECT event_type, n, s1 / n AS mu,
+               SQRT((s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0)) AS sd
+        FROM s
+    )
+    SELECT e.event_type,
+           MAX(st.n) AS n_events,
+           CAST(COUNT(CASE WHEN ABS((e.value - st.mu) / st.sd) > 3.0 THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS((e.value - st.mu) / st.sd)), 4) AS max_abs_z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="z-score standardization with a 3-sigma outlier audit — the "
+    "feature-normalization pass an ML data pipeline runs before training. "
+    "Two scans only: moments (sum/sum-of-squares through exact DECIMAL "
+    "casts -> mu and sd are bit-identical doubles in both engines; no "
+    "Welford merge-order drift) then a z pass against the broadcast "
+    "|event_types|-row stats table. Outlier counts are exact integers; "
+    "max |z| rounds at 4 dp only for the sqrt ulp",
+    tags=("B11", "B24", "B25"),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    st = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
+            / (F.col("n") - F.lit(1.0))
+        ).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.when(z > 3.0, F.lit(1))).cast("bigint").alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
     )
