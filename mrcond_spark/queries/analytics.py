@@ -1,13 +1,14 @@
 """Statistical / vector / graph analytics tier (round-5 additions).
 
-Ten declared queries extending SURVEY §2.2/§2.4 with the analytics a
+Eleven declared queries extending SURVEY §2.2/§2.4 with the analytics a
 curation stack runs NEXT TO the relational core: single-pass statistical
 moments (B11/B24 companions), equi-width histograms, time-weighted
 averages, corpus collocation mining (E5), embedding-column maintenance
 (E3/E4 companions: centroids + quantization audit), link-analysis
 PageRank over a contracted graph (the source-quality scoring signal),
 Markov transition matrices over event sequences, df-gated inverted-index
-construction, and z-score standardization with an outlier audit.
+construction, z-score standardization with an outlier audit, and a salted shuffle
+join (the skew tier's join half, q101's aggregate being the other).
 
 Every query carries a full DuckDB hash oracle. Cross-engine float
 discipline (same rules as the rest of the corpus): exact integer counts;
@@ -570,23 +571,10 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B11", "B24", "B25"),
 )
 def q115(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.stats import moment_stats
+
     ev = load(spark, sf, "events")
-    s = ev.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("s2"),
-    )
-    st = s.select(
-        "event_type",
-        "n",
-        (F.col("s1") / F.col("n")).alias("mu"),
-        F.sqrt(
-            (F.col("s2") - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))
-            / (F.col("n") - F.lit(1.0))
-        ).alias("sd"),
-    )
+    st = moment_stats(ev, ["event_type"], "value")
     z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
     return (
         ev.join(F.broadcast(st), "event_type")
@@ -595,6 +583,62 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n").alias("n_events"),
             F.count(F.when(z > 3.0, F.lit(1))).cast("bigint").alias("n_outliers"),
             F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# salted shuffle join (skew tier companion to q101's salted aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "q116_salted_join",
+    oracle="""
+    WITH st AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(CASE WHEN e.value > st.mu THEN 1 END) AS BIGINT) AS n_above,
+           CAST(COUNT(CASE WHEN e.value <= st.mu THEN 1 END) AS BIGINT) AS n_below
+    FROM events e JOIN st ON e.event_type = st.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="skew-safe dimension join through `operators/skew.explode_salt`: "
+    "the fact side's handful of mega-hot event types would funnel into "
+    "single reducers in a plain shuffle join, so the dim is replicated "
+    "across 32 salt values and the join key becomes (event_type, salt) — "
+    "each hot key spreads over 32 reducers. The salt is a content hash of "
+    "(event_type, event_id) (layout-independent, `content_salt`) and never "
+    "reaches the result: output == the plain join exactly, so the query "
+    "carries a full hash oracle (above/below-mean counts against the "
+    "decimal-exact per-type mean). shuffle_hash hint pins the shuffled "
+    "path — a broadcast would silently bypass the salt demo at test scale "
+    "(at 100 TB a large dim forces the shuffle anyway)",
+    tags=("B4", "B11"),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import explode_salt
+
+    ev = load(spark, sf, "events").select("event_type", "event_id", "value")
+    mu = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("mu")
+    )
+    salted_dim, fact_salt = explode_salt(
+        mu, fact_cols=["event_type", "event_id"], salt_buckets=32
+    )
+    fact = ev.withColumn("__salt", fact_salt)
+    return (
+        fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "__salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") > F.col("mu"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count(F.when(F.col("value") <= F.col("mu"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_below"),
         )
         .orderBy("event_type")
     )

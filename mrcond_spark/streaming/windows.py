@@ -100,6 +100,40 @@ def stream_dedup_against_reference(
     return dedup_against_reference(stream, reference, text_col)
 
 
+def stream_zscore_anomalies(
+    stream: DataFrame,
+    stats: DataFrame,
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """S9/E5+ hybrid: flag streamed events whose value is a z-score outlier
+    against per-key reference statistics — the streaming half of the q115
+    standardization audit (train the stats in batch with
+    ``operators.stats.moment_stats``, apply them to the live stream).
+
+    ``stats`` must carry ``key_cols + (mu, sd)``; it is broadcast per
+    micro-batch (|keys|-sized), so a nightly-refreshed stats table is
+    picked up without restarting the query. Keys with NaN or zero ``sd``
+    (single-row or zero-spread training keys) are dropped from the stats
+    side BEFORE the join — "no standardization possible" (the explicit
+    filter matters: Spark orders NaN above every double, so a naive
+    ``z > thr`` would flag every NaN). Stateless — no watermark, no state
+    store; scales as a plain per-row filter.
+    """
+    keys = key_cols or ["event_type"]
+    usable = stats.select(*keys, "mu", "sd").filter(
+        ~F.isnan("sd") & (F.col("sd") > 0)
+    )
+    z = F.abs((F.col(value_col) - F.col("mu")) / F.col("sd"))
+    return (
+        stream.join(F.broadcast(usable), keys)
+        .withColumn("z", z)
+        .filter(F.col("z") > float(z_threshold))
+        .drop("mu", "sd")
+    )
+
+
 def curate_stream(
     stream: DataFrame,
     reference: DataFrame,

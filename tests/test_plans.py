@@ -176,3 +176,57 @@ def test_scale_report_shape(spark, sf_dir):
     }
     rep3 = plans.scale_report(QUERIES["q03_join_chain"].spark(spark, sf_dir))
     assert rep3["broadcasts"] >= 2
+
+
+def test_analytics_moments_single_shuffle_and_pruned(spark, sf_dir):
+    """q106: all five co-moment aggregates fold into ONE partial->final hash
+    aggregate (single data shuffle + the ORDER BY range exchange), and the
+    scan reads only the three referenced columns."""
+    df = QUERIES["q106_stats_moments"].spark(spark, sf_dir)
+    assert plans.shuffle_exchange_count(df) <= 2
+    (cols,) = plans.read_schema_columns(df)
+    assert cols == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+
+def test_quantize_is_narrow(spark, sf_dir):
+    """q111: the quantization audit is pure per-row array work — the ONLY
+    exchange in the plan is the final ORDER BY's range partitioning."""
+    df = QUERIES["q111_vector_quantize"].spark(spark, sf_dir)
+    assert plans.shuffle_exchange_count(df) == 1  # rangepartitioning for sort
+    text = plans.explain_str(df, mode="simple")
+    assert "hashpartitioning" not in text
+
+
+def test_twap_agg_reuses_window_partitioning(spark, sf_dir):
+    """q110: the lead window shuffles on user_id once; the downstream hash
+    aggregate keys on the same column so it must NOT re-exchange (window
+    shuffle + final ORDER BY only)."""
+    df = QUERIES["q110_twap"].spark(spark, sf_dir)
+    assert plans.shuffle_exchange_count(df) <= 2
+
+
+def test_zscore_stats_join_broadcasts(spark, sf_dir):
+    """q115: the |event_types|-row stats table must ride a broadcast, never
+    shuffle the full events table for the z pass."""
+    df = QUERIES["q115_zscore_outliers"].spark(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert not plans.uses_sort_merge_join(df)
+
+
+def test_histogram_scan_prunes_to_one_column(spark, sf_dir):
+    """q109 projects only c_acctbal from the customer scan."""
+    df = QUERIES["q109_acctbal_histogram"].spark(spark, sf_dir)
+    (cols,) = plans.read_schema_columns(df)
+    assert cols == {"c_acctbal"}
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """q116: the join must be a SHUFFLED join keyed on (event_type, salt) —
+    a broadcast would silently bypass the salt fan-out the query exists to
+    exercise."""
+    df = QUERIES["q116_salted_join"].spark(spark, sf_dir)
+    text = plans.explain_str(df, mode="simple")
+    assert "ShuffledHashJoin" in text or "SortMergeJoin" in text
+    import re
+
+    assert re.search(r"hashpartitioning\(event_type\S*, __salt", text), text[:400]

@@ -502,3 +502,24 @@ def test_curate_stream_pipeline(spark, tmp_path):
     # exactly one of the two same-normalized-text docs survives (which one is
     # micro-batch-internal order, not a contract), plus the other novel doc
     assert len(kept & {1, 4}) == 1 and 6 in kept and len(kept) == 2, kept
+
+
+def test_stream_zscore_anomalies(spark, event_stream_dir):
+    """Batch-trained stats applied to the live stream: only values beyond
+    3 sigma of their key's reference distribution flag; keys with NaN or
+    zero sd are unusable and must flag nothing (the NaN-orders-high trap)."""
+    stats = spark.createDataFrame(
+        [
+            ("view", 2.0, 1.0),          # views: mu=2, sd=1 -> |z|>3 means v>5 or v<-1
+            ("click", 2.0, 0.0),         # zero spread: unusable
+            ("purchase", 1.0, float("nan")),  # single-row training key: unusable
+        ],
+        "event_type string, mu double, sd double",
+    )
+    df = windows.stream_zscore_anomalies(replay_events(spark, event_stream_dir), stats)
+    run_to_memory(spark, df, "zanom", "append")
+    rows = spark.sql("SELECT event_type, value, z FROM zanom").collect()
+    # view values: 1,3,4,6 -> only 6.0 has |z| = 4 > 3; clicks (2,5,2) never
+    # flag despite 5.0 being far off a zero-spread distribution
+    assert {(r["event_type"], r["value"]) for r in rows} == {("view", 6.0)}
+    assert rows[0]["z"] == pytest.approx(4.0, abs=1e-12)
