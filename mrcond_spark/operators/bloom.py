@@ -1,0 +1,109 @@
+"""DataFrame-native Bloom-filter semi-join pruning.
+
+Spark's runtime row-level Bloom filters (`bloom_filter_agg` /
+`might_contain`) are internal expressions not exposed through the public
+function registry, so this operator builds the same structure from public
+primitives: k `xxhash64(key, seed)` probes into an ``num_bits``-wide bit
+array packed into ``num_bits/64`` longs aggregated with ``bit_or``. The
+membership test is a pure JVM expression over an embedded literal array —
+no Python in the hot path, no join, no shuffle on the probe side.
+
+Where it fits between the existing join strategies:
+
+- dim keys fit a broadcast hash join  -> just broadcast-join (q03);
+- dim keys fit an IN-list             -> semi join (q05);
+- dim keys are MILLIONS (too big to broadcast as a hash relation cheaply)
+  but the match fraction on the fact side is small -> a few-hundred-KB
+  Bloom embeds in every task, prunes the fact rows BEFORE the join
+  shuffle, and the exact join afterwards removes the false positives.
+
+At 100 TB the payoff is the pruned shuffle: a 20%-selective dim turns an
+80 TB fact exchange into ~16 TB (+fpp). False positives only cost shuffle
+bytes, never correctness.
+
+EAGER + SNAPSHOT CONTRACT (same as `prefix_sum.bucketed_running_sum`): the
+Bloom build job runs at construction time — the bit array must become a
+plan literal. The collect is bounded metadata: ``num_bits / 64`` longs
+(default 1024 = 8 KiB), never data-sized.
+
+Reference parity note: f-squirrel/mrcond has no batch/join surface
+(SURVEY §1) — this belongs to the mandated Spark-first extension tier.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mask_array() -> Column:
+    """Literal array of the 64 single-bit long masks, indexed by bit+1.
+
+    `F.shiftleft`'s Python wrapper only accepts a literal shift amount, so
+    a column-indexed lookup table replaces the dynamic shift. Bit 63 is the
+    sign bit: its mask is expressed as the negative two's-complement value
+    (bit_or / bitwiseAND are sign-agnostic)."""
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
+def build_bloom_words(dim: DataFrame, key: str, num_bits: int, num_hashes: int) -> list[int]:
+    """Run the (eager) build job: k hash positions per dim key, packed into
+    ``num_bits/64`` longs via a partial-aggregated ``bit_or``. Returns the
+    dense word array (bounded: ``num_bits/64`` entries)."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    positions = F.array(
+        *[F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)]
+    )
+    words = (
+        dim.select(F.explode(positions).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.element_at(_mask_array(), (F.col("pos") % 64).cast("int") + 1)
+            ).alias("bits")
+        )
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def might_contain(words: list[int], key: Column, num_bits: int, num_hashes: int) -> Column:
+    """Membership-test expression against an embedded literal word array —
+    ANDs k single-bit probes, each `element_at(lit_array, word) & bit != 0`."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    probes = []
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        bit = F.element_at(_mask_array(), (pos % 64).cast("int") + 1)
+        probes.append(word.bitwiseAND(bit) != 0)
+    return reduce(lambda a, b: a & b, probes)
+
+
+def bloom_prejoin(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact inner equi-join of ``fact`` with ``dim``, with the fact side
+    pre-pruned by a Bloom filter over the dim keys.
+
+    The result is IDENTICAL to ``fact.join(dim, fact_key == dim_key)`` —
+    the Bloom only drops fact rows that cannot match (false positives pass
+    the filter and are removed by the join). Eager: the dim-side build job
+    runs here (see module docstring for the snapshot contract).
+    """
+    words = build_bloom_words(dim, dim_key, num_bits, num_hashes)
+    pruned = fact.filter(might_contain(words, F.col(fact_key), num_bits, num_hashes))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -69,9 +69,11 @@ def register(
 #: first-time green in CORRECTNESS_r04) plus q12 (B13 -> q13), q16 (B16 ->
 #: q97), q22 (B23 -> q94/q95/q102), q24 (B25 -> q80), q25 (B26 -> q104).
 #: After round 5 every oracle-bearing query registered through round 4 has
-#: a driver verdict on record; the seven round-5 analytics additions
-#: (q106–q112, queries/analytics.py) are builder-oracle-green and are the
-#: natural round-6 rotation (7 in, 7 out of the green-on-record slots).
+#: a driver verdict on record; the round-5 post-bench additions — the
+#: analytics tier q106–q116 (queries/analytics.py) and the curation tier
+#: q117–q120 (queries/curation.py, analytics.py) — are builder-oracle-green
+#: and are the natural round-6 rotation (15 in, 15 out of the
+#: green-on-record slots).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -134,7 +136,7 @@ PRIORITY: tuple[str, ...] = (
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import analytics, assembly, batch, llm, udf_surface  # noqa: F401
+    from . import analytics, assembly, batch, curation, llm, udf_surface  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:

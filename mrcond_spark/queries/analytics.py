@@ -642,3 +642,123 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter pre-join pruning (B3/B4 companion; operators/bloom.py)
+# --------------------------------------------------------------------------
+@register(
+    "q119_bloom_prejoin",
+    oracle="""
+    SELECT CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY order_month
+    """,
+    doc="exact orders->customer join with the fact side pre-pruned by a "
+    "DataFrame-native Bloom filter over the qualifying customer keys "
+    "(`operators/bloom.bloom_prejoin`: k xxhash64 probes into a bit_or-"
+    "aggregated bit array, embedded as a plan literal). The result is "
+    "IDENTICAL to the plain join — false positives pass the Bloom and die "
+    "in the join — so the query carries the plain-SQL hash oracle. 100 TB "
+    "posture: when the dim's qualifying keys are too many to broadcast "
+    "but the fact match fraction is small, the few-KB Bloom prunes the "
+    "fact exchange BEFORE the shuffle (~80% here); the build collect is "
+    "bounded metadata (num_bits/64 longs = 8 KiB). EAGER: the dim build "
+    "job runs at construction (snapshot contract, same as prefix_sum)",
+    tags=("B3", "B4"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bloom import bloom_prejoin
+
+    orders = load(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = bloom_prejoin(orders, cust, "o_custkey", "c_custkey")
+    return (
+        joined.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# co-purchase graph triangle census (graph tier: q112 PageRank's sibling)
+# --------------------------------------------------------------------------
+@register(
+    "q120_copurchase_triangles",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= 2
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), parts AS (
+        SELECT a AS pk FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT pk AS partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM parts GROUP BY pk
+    ORDER BY n_triangles DESC, partkey
+    LIMIT 20
+    """,
+    doc="market-basket triangle census: parts are linked when co-purchased "
+    "in the same order at least twice (support >= 2 prunes the quadratic "
+    "pair explosion to the frequent co-occurrences — the standard "
+    "support-threshold trick), triangles counted via the oriented "
+    "three-way self-join (u<v ordering counts each triangle exactly once "
+    "and halves every join input), output = top-20 parts by triangle "
+    "participation. 100 TB: pair generation shuffles on orderkey "
+    "(bounded per-order fan-out n*(n-1)/2 with n = items per order, "
+    "single digits), the support HAVING runs as a partial-agged hash "
+    "aggregate, and the triangle joins run on the PRUNED edge list "
+    "shuffled by vertex — the degree-heavy vertices are exactly what the "
+    "support threshold caps. All equi-joins; no cartesian anywhere",
+    tags=("B4", "B11", "E5"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    items = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    parts = (
+        tri.select(F.col("a").alias("pk"))
+        .unionAll(tri.select(F.col("b").alias("pk")))
+        .unionAll(tri.select(F.col("c").alias("pk")))
+    )
+    return (
+        parts.groupBy(F.col("pk").alias("partkey"))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .select("partkey", "n_triangles")
+        .orderBy(F.desc("n_triangles"), "partkey")
+        .limit(20)
+    )

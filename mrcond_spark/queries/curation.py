@@ -1,0 +1,220 @@
+"""Corpus-hygiene tier (round-5 additions): boilerplate passage removal and
+hashed-n-gram importance weighting.
+
+Two curation steps every large-scale pretraining pipeline runs between raw
+ingestion and mixture assembly, both absent from the existing dedup tier
+because they act WITHIN documents (q117 rewrites texts) or score them
+against a target distribution (q118), rather than dropping whole rows:
+
+- q117: C4-style boilerplate stripping — the unit is a fixed-width token
+  passage, and a passage repeated across many DISTINCT documents is
+  boilerplate (navigation chrome, license headers, templated intros) and
+  is cut from every document that carries it.
+- q118: DSIR-style importance weights (Xie et al., "Data Selection for
+  Language Models via Importance Resampling", arXiv:2302.03169): score
+  each document by the log-likelihood ratio of a target distribution vs
+  the raw distribution over HASHED token buckets — the hashing makes the
+  feature space fixed-width (B buckets) no matter how large the vocabulary
+  gets, which is the whole trick that lets the weighting run at corpus
+  scale as two bounded aggregates plus a broadcast join.
+
+Both carry full DuckDB hash oracles. Float discipline: q118's only
+transcendental (``ln``) is computed once per BUCKET (64 rows), rounded to
+7 decimals, and cast to DECIMAL before the per-document sum — so the
+data-sized arithmetic is exact-decimal and order-independent in both
+engines.
+
+Reference parity note: f-squirrel/mrcond is a CDC connector with no batch
+surface (SURVEY §1); this module belongs to the mandated north-star
+extension, same as queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from . import register
+
+#: q117 passage width (tokens) and boilerplate document-frequency threshold:
+#: a width-5 passage seen in more than 2 distinct documents is boilerplate.
+#: Calibrated so the synthetic corpus has real removals at every sf
+#: (sf0.01: 35 of 5,318 distinct passages; sf0.1: 222 of 52,286).
+PASSAGE_W = 5
+MAX_DF = 2
+
+#: q118 hashed-feature space: 64 buckets, 6 hex chars of md5 (24 bits) mod 64.
+N_BUCKETS = 64
+
+
+@register(
+    "q117_boilerplate_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(arr) AS tok, UNNEST(range(len(arr))) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+              FROM documents)
+    ), segs AS (
+        SELECT doc_id, CAST(pos // {PASSAGE_W} AS INT) AS seg_id,
+               string_agg(tok, ' ' ORDER BY pos) AS seg
+        FROM toks GROUP BY doc_id, pos // {PASSAGE_W}
+    ), dfreq AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.seg_id, s.seg
+        FROM segs s JOIN dfreq USING (seg) WHERE dfreq.df <= {MAX_DF}
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS total_segs FROM segs GROUP BY doc_id
+    ), keptagg AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+               COUNT(*) AS kept_segs
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(k.kept_segs, 0) AS INT) AS kept_segs,
+           CAST(t.total_segs AS INT) AS total_segs
+    FROM tot t LEFT JOIN keptagg k USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="C4-style boilerplate passage removal: split every document into "
+    f"non-overlapping {PASSAGE_W}-token passages, count each distinct "
+    "passage's document frequency corpus-wide, cut passages appearing in "
+    f"more than {MAX_DF} distinct documents, and reassemble the cleaned "
+    "text in original passage order. All JVM built-ins (posexplode / "
+    "array_sort(collect_list) — no Python). 100 TB: the passage shuffle "
+    "is uniform ((doc,seg) keys); the df table holds only DISTINCT "
+    "passages with map-side partial counts; the df join back is hot-keyed "
+    "exactly on the boilerplate passages — the AQE skew-join split "
+    "handles those few heavy keys (each joins to a single df row, so "
+    "duplication cost is nil). Reassembly shuffles (doc_id) once",
+    tags=("E1", "E5"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    )
+    segs = (
+        toks.groupBy("doc_id", F.floor(F.col("pos") / PASSAGE_W).cast("int").alias("seg_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                ),
+                " ",
+            ).alias("seg")
+        )
+    )
+    dfreq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    kept = segs.join(dfreq, "seg").filter(F.col("df") <= MAX_DF)
+    tot = segs.groupBy("doc_id").agg(F.count("*").cast("int").alias("total_segs"))
+    keptagg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("kept_segs"),
+    )
+    return (
+        tot.join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_segs", F.lit(0)).alias("kept_segs"),
+            "total_segs",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q118_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % {N_BUCKETS} AS bucket
+        FROM toks
+    ), docb AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY doc_id, bucket
+    ), per_bucket AS (
+        SELECT bucket,
+               COUNT(*) AS cr,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM bucketed GROUP BY bucket
+    ), totals AS (
+        SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM per_bucket
+    ), loglr AS (
+        SELECT bucket,
+               CAST(ROUND(
+                   ln((ct + 1.0) / (tt + {N_BUCKETS})) - ln((cr + 1.0) / (tr + {N_BUCKETS})),
+                   7) AS DECIMAL(20,7)) AS llr
+        FROM per_bucket CROSS JOIN totals
+    )
+    SELECT d.doc_id,
+           CAST(SUM(CAST(d.cnt AS DECIMAL(12,0)) * l.llr) AS DECIMAL(38,7)) AS logweight
+    FROM docb d JOIN loglr l USING (bucket)
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+    doc="DSIR hashed-n-gram importance weights (arXiv:2302.03169): "
+    "per-document log-likelihood ratio of the target distribution "
+    "(lang='en' docs) vs the raw corpus distribution over "
+    f"{N_BUCKETS} hashed unigram buckets, add-1 smoothed. The bucket "
+    "hash is engine-portable seeded md5 (the q96 idiom). 100 TB shape: "
+    "ONE pass builds the (doc,bucket) counts and the per-bucket "
+    "raw/target counts (conditional sum — no second scan); the "
+    "log-ratio table is B=64 rows, broadcast into the per-doc sum; the "
+    "only transcendental is computed per bucket, rounded, and cast to "
+    "DECIMAL so the data-sized sum is exact and order-independent. "
+    "Resampling against these weights is q90/q93's hash-threshold idiom",
+    tags=("E5", "B31"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long") % N_BUCKETS
+        ).alias("bucket"),
+    )
+    docb = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    totals = per_bucket.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    loglr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + N_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + N_BUCKETS)),
+            7,
+        )
+        .cast("decimal(20,7)")
+        .alias("llr"),
+    )
+    return (
+        docb.join(F.broadcast(loglr), "bucket")
+        .groupBy("doc_id")
+        # cnt is narrowed to DECIMAL(12,0) so the product's precision
+        # (12+20+1=33) fits DECIMAL(38,7) without Spark's precision-loss
+        # scale truncation — keeps the data-sized sum exact at scale 7.
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(12,0)") * F.col("llr"))
+            .cast("decimal(38,7)")
+            .alias("logweight")
+        )
+        .orderBy("doc_id")
+    )

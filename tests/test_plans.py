@@ -125,6 +125,7 @@ _NONEQUI_OK = {
     "q90_mixture_weights",  # 1-row (total, k) scalar broadcast-crossed into per-source aggs
     "q93_mixture_rebalance",  # same 1-row scalar cross into the per-source prob table
     "q108_pmi_collocations",  # two 1-row corpus-total scalars broadcast-crossed into the pair table
+    "q118_importance_weights",  # 1-row (raw,target) totals broadcast-crossed into the 64-bucket table
 }
 
 
