@@ -44,9 +44,12 @@ def _mask_array() -> Column:
     `F.shiftleft`'s Python wrapper only accepts a literal shift amount, so
     a column-indexed lookup table replaces the dynamic shift. Bit 63 is the
     sign bit: its mask is expressed as the negative two's-complement value
-    (bit_or / bitwiseAND are sign-agnostic)."""
-    return F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    (bit_or / bitwiseAND are sign-agnostic). Built as ONE list literal —
+    per-element `F.lit` calls cost a py4j round-trip each (measured: the
+    1024-word array built element-wise added ~3 s of DRIVER time to q119's
+    plan construction; the single-call literal is milliseconds)."""
+    return F.lit([(1 << i) if i < 63 else -(1 << 63) for i in range(64)]).cast(
+        "array<long>"
     )
 
 
@@ -78,12 +81,13 @@ def build_bloom_words(dim: DataFrame, key: str, num_bits: int, num_hashes: int) 
 def might_contain(words: list[int], key: Column, num_bits: int, num_hashes: int) -> Column:
     """Membership-test expression against an embedded literal word array —
     ANDs k single-bit probes, each `element_at(lit_array, word) & bit != 0`."""
-    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    lit_words = F.lit(list(words)).cast("array<long>")
+    masks = _mask_array()
     probes = []
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
         word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
-        bit = F.element_at(_mask_array(), (pos % 64).cast("int") + 1)
+        bit = F.element_at(masks, (pos % 64).cast("int") + 1)
         probes.append(word.bitwiseAND(bit) != 0)
     return reduce(lambda a, b: a & b, probes)
 

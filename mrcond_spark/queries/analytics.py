@@ -729,7 +729,7 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     "single digits), the support HAVING runs as a partial-agged hash "
     "aggregate, and the triangle joins run on the PRUNED edge list "
     "shuffled by vertex — the degree-heavy vertices are exactly what the "
-    "support threshold caps. All equi-joins; no cartesian anywhere",
+    "support threshold caps. The pruned edge list is materialized once (localCheckpoint) because three join branches consume it — EAGER at construction, same snapshot contract as q97/q119. All equi-joins; no cartesian anywhere",
     tags=("B4", "B11", "E5"),
 )
 def q120(spark: SparkSession, sf: str) -> DataFrame:
@@ -744,6 +744,11 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("u", "v")
     )
+    # three join branches reference the edge pipeline; materialize it once
+    # (scan -> distinct -> self-join -> support agg would otherwise run 3x)
+    from ..operators import materialize_once
+
+    edges = materialize_once(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

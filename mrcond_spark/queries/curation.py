@@ -218,3 +218,119 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: q121 head gate: tokens with corpus frequency below this are excluded from
+#: the Zipf fit (the rank-frequency head is where the power law lives, and
+#: the gate is what bounds the ranked set at scale: <= total_tokens/MINFREQ
+#: entries survive regardless of vocabulary size).
+MIN_FREQ = 5
+
+
+@register(
+    "q121_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok
+        HAVING COUNT(*) >= {MIN_FREQ}
+    ), ranked AS (
+        SELECT lang, c,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+        FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_head,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 5) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 5) AS fit_r2
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    doc="Zipf rank-frequency audit per language: least-squares slope of "
+    "ln(freq) on ln(rank) over the frequency head (corpus health check — "
+    "natural text sits near slope -1; a drifting slope flags templated or "
+    "degenerate scrape batches). 100 TB: the token count is ONE uniform "
+    f"(lang,tok) shuffle with map-side partials; the >= {MIN_FREQ} head "
+    "gate bounds the ranked set at total_tokens/min_freq rows BEFORE the "
+    "per-lang ranking window, so the window never sees the vocabulary "
+    "tail; the regression itself is an algebraic aggregate (one pass, "
+    "rounded to absorb co-moment merge-order ulps, same rule as q106)",
+    tags=("E5", "B15", "B24"),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    toks = d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    freq = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= MIN_FREQ)
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_head"),
+            F.round(F.regr_slope(ln_c, ln_r), 5).alias("zipf_slope"),
+            F.round(F.regr_r2(ln_c, ln_r), 5).alias("fit_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q122_quality_calibration",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(lower(trim(text)), '\\s+')) AS uniq_ratio
+        FROM documents
+    )
+    SELECT doc_id, source,
+           ROUND(uniq_ratio, 6) AS uniq_ratio_r,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY uniq_ratio), 6) AS pct_in_source
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="per-source quality-score calibration: map each document's "
+    "unique-token ratio (the Gopher-style repetition signal, q89's "
+    "numerator) to its percent_rank WITHIN its source, making quality "
+    "thresholds comparable across sources whose raw score distributions "
+    "differ (a fixed global cutoff over-prunes verbose sources and "
+    "under-prunes templated ones). Ties share a percent_rank (peer-group "
+    "semantics) so the result is deterministic without a tiebreak. 100 TB: "
+    "the ratio is a narrow per-row expression; the window partitions by "
+    "source — with FEW mega-sources, swap the exact percent_rank for the "
+    "distributed percentile-cutpoint bucketing in `operators/ntile.py` "
+    "(same recipe that replaced the global NTILE), trading exact ranks "
+    "for epsilon-quantile bins",
+    tags=("E5", "B15"),
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    feat = d.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+        ).alias("uniq_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy("uniq_ratio")
+    return (
+        feat.select(
+            "doc_id",
+            "source",
+            F.round("uniq_ratio", 6).alias("uniq_ratio_r"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_in_source"),
+        )
+        .orderBy("doc_id")
+    )
