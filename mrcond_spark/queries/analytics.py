@@ -652,7 +652,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY 1 ORDER BY order_month
@@ -686,6 +686,7 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
         )
         .orderBy("order_month")

@@ -159,7 +159,7 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         FROM per_bucket CROSS JOIN totals
     )
     SELECT d.doc_id,
-           CAST(SUM(CAST(d.cnt AS DECIMAL(12,0)) * l.llr) AS DECIMAL(38,7)) AS logweight
+           CAST(CAST(SUM(CAST(d.cnt AS DECIMAL(12,0)) * l.llr) AS DECIMAL(38,7)) AS DOUBLE) AS logweight
     FROM docb d JOIN loglr l USING (bucket)
     GROUP BY d.doc_id
     ORDER BY doc_id
@@ -214,6 +214,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum(F.col("cnt").cast("decimal(12,0)") * F.col("llr"))
             .cast("decimal(38,7)")
+            .cast("double")
             .alias("logweight")
         )
         .orderBy("doc_id")
