@@ -1,0 +1,123 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin
+family: Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+Chaudhuri et al., "A Primitive Operator for Similarity Joins", ICDE'06).
+
+The exact complement to the approximate near-dup tier (MinHash q47, SimHash
+q48): returns EVERY pair of documents whose set Jaccard meets the threshold
+— no recall dial, no probability knob — while never going all-pairs. The
+*prefix filtering principle*: order each set's elements by a global total
+order (ascending corpus frequency — rarest first, ties by element) and keep
+only the first ``|s| - ceil(t*|s|) + 1`` elements as its *prefix*; any pair
+with Jaccard >= t MUST share an element in both prefixes (with overlap
+bound alpha = ceil(t*max(|x|,|y|)) >= ceil(t*|x|), the classic theorem
+gives pair-tight prefix ``|x| - alpha + 1``; our per-set length is >= that
+for every partner, so recall is exactly 1). Candidate generation is then an
+equi-join on prefix elements only. Two structural wins at 100 TB:
+
+- hot elements (stopword shingles, boilerplate grams) have maximal
+  frequency, sort LAST, and never enter a prefix — the candidate join's key
+  distribution is capped by construction, the opposite of a naive token
+  self-join whose heaviest key joins quadratically;
+- every surviving pair is verified with an exact JVM array intersection, so
+  a false positive costs one comparison, never a wrong answer.
+
+The threshold is a RATIONAL ``t_num/t_den`` and every gate is integer
+arithmetic (``t_den*inter >= t_num*union``), so there is no float-boundary
+ambiguity anywhere — the output is bit-identical to an all-pairs oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prefix_setsim_join(
+    sets: DataFrame,
+    id_col: str = "id",
+    set_col: str = "toks",
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) from ``sets`` whose Jaccard >= t_num/t_den.
+
+    ``sets`` carries one row per item: (``id_col``, ``set_col``) with
+    ``set_col`` an array of DISTINCT elements (the caller picks the
+    representation — word n-gram shingles for documents, feature ids for
+    sparse vectors). Returns ``(id_a, id_b, inter, sz_a, sz_b, jaccard)``
+    — ``inter`` the exact intersection size, ``jaccard`` the double ratio
+    (display only; the gate itself is integer-exact).
+
+    Plan shape / 100 TB: (1) one (element) shuffle builds global element
+    frequencies with map-side partials; (2) the frequency join back is
+    hot-keyed only on ubiquitous elements, each matching a single frequency
+    row (AQE skew-split territory, duplication cost nil); (3) one (id)
+    shuffle assembles the frequency-sorted element array; (4) the prefix
+    equi-join shuffles only prefix elements — rare by construction — with a
+    pair-length gate (``t_den*min >= t_num*max``) applied inside the join
+    before any pair materializes; (5) verify joins the deduped candidate
+    ids back to the set arrays and intersects JVM-side — cost tracks
+    |candidates|, not |corpus|. If ``sets`` derives from an expensive
+    upstream (a UDF shingler), the caller decides materialize-vs-recompute
+    per the repo's measured rule; cheap Arrow shinglers recompute faster
+    than they checkpoint.
+    """
+    sets = sets.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
+    toks = sets.select("id", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    ranked = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
+    )
+    sz = F.size("ord")
+    # integer ceil(t*sz) = (t_num*sz + t_den - 1) div t_den — no float ever
+    plen = sz - F.floor((F.lit(t_num) * sz + t_den - 1) / t_den).cast("int") + 1
+    prefix = ranked.select(
+        "id",
+        sz.alias("sz"),
+        F.explode(F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])).alias(
+            "tok"
+        ),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length gate: J >= t  =>  t_den*min(sz) >= t_num*max(sz)
+            & (
+                F.lit(t_den) * F.least("a.sz", "b.sz")
+                >= F.lit(t_num) * F.greatest("a.sz", "b.sz")
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

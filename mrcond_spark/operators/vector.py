@@ -129,3 +129,116 @@ def quantize_embeddings(
         F.sqrt(ssq.cast("double") / F.size(x)).alias("q_rmse"),
         F.array_max(F.transform(F.col("__err"), F.abs)).alias("q_max_abs_err"),
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    centered: bool = True,
+) -> DataFrame:
+    """Covariance (or raw second-moment) matrix via Arrow-batched numpy
+    partials — the scale path for dimensions in the thousands, where the
+    exact-decimal posexplode route (q127) would expand d^2 rows per vector.
+
+    Returns ``(i, j, cov)`` for the upper triangle (i <= j), double-typed.
+    ``centered=False`` skips mean subtraction (raw E[x_i x_j] * n).
+
+    Plan shape: ``mapInPandas`` reduces each Arrow batch to ONE d x d
+    partial (X^T X), d sums, and a count — the shuffle moves d(d+1)/2 rows
+    per PARTITION, not per vector; a single tiny hash aggregate merges the
+    partials. Float caveat: the partial sums are double (merge-order
+    dependent in the last ulps), so this operator is tolerance-tested
+    against the exact decimal route rather than hash-oracled.
+
+    100 TB: cost is one scan + numpy BLAS per batch; the exchange carries
+    O(partitions * d^2) rows — for d=4096 and 10k partitions that is 168M
+    skinny rows into a 8.4M-group aggregate, still far below data size.
+    """
+    d_out = "i int, j int, p double, s double, n long"
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col].to_numpy()
+            if len(vecs) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            g = x.T @ x
+            s = x.sum(axis=0)
+            n = len(x)
+            iu, ju = np.triu_indices(x.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "p": g[iu, ju],
+                    # per-dim sums ride along on the diagonal rows (j == i)
+                    "s": np.where(iu == ju, s[iu], 0.0),
+                    "n": np.where((iu == 0) & (ju == 0), n, 0),
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema=d_out)
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"), F.sum("s").alias("s_diag"), F.sum("n").alias("n_part"))
+    )
+    if not centered:
+        return agg.select("i", "j", F.col("sp").alias("cov")).orderBy("i", "j")
+    n_total = agg.agg(F.sum("n_part").alias("n"))
+    sums = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("s_diag").alias("s")
+    )
+    si = sums.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
+    return (
+        agg.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sp") / F.col("n")
+                - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n"))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def top_principal_component(
+    cov: DataFrame,
+    n_iter: int = 100,
+) -> tuple[float, list[float]]:
+    """Leading eigenpair of a covariance matrix given as upper-triangle rows
+    ``(i, j, cov)`` (q127 / ``gram_matrix`` output) — driver-side power
+    iteration, since the matrix itself is bounded metadata (d^2 doubles;
+    64x64 = 32 KiB) while the DATA-sized work already happened in the
+    aggregation that produced it.
+
+    Deterministic: fixed all-ones start vector, fixed iteration count, sign
+    fixed so the largest-|component| entry is positive. Returns
+    ``(eigenvalue, eigenvector)``.
+    """
+    import numpy as np
+
+    rows = cov.collect()  # bounded: d(d+1)/2 upper-triangle entries
+    d = max(r["j"] for r in rows) + 1
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(n_iter):
+        w = m @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            return 0.0, v.tolist()
+        v = w / nrm
+    ev = float(v @ (m @ v))
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return ev, v.tolist()

@@ -70,10 +70,12 @@ def register(
 #: q97), q22 (B23 -> q94/q95/q102), q24 (B25 -> q80), q25 (B26 -> q104).
 #: After round 5 every oracle-bearing query registered through round 4 has
 #: a driver verdict on record; the round-5 post-bench additions — the
-#: analytics tier q106–q116 (queries/analytics.py) and the curation tier
-#: q117–q120 (queries/curation.py, analytics.py) — are builder-oracle-green
-#: and are the natural round-6 rotation (15 in, 15 out of the
-#: green-on-record slots).
+#: analytics tier q106–q116 (queries/analytics.py), the curation tier
+#: q117–q122 + q124 (queries/curation.py, analytics.py), and the retrieval
+#: tier q123/q125–q128 (queries/search.py, analytics.py) — are
+#: builder-oracle-green and form the round-6 rotation pool (23 candidates
+#: for the ~17 rotating slots; prefer the operator-bearing ones first:
+#: q123 setsim, q127 covariance, q118 DSIR, q119 Bloom, q112 PageRank).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
@@ -136,7 +138,7 @@ PRIORITY: tuple[str, ...] = (
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import analytics, assembly, batch, curation, llm, udf_surface  # noqa: F401
+    from . import analytics, assembly, batch, curation, llm, search, udf_surface  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:

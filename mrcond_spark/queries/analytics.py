@@ -768,3 +768,258 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "partkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap interpolation (B16 companion: q82 forward-fills, this
+# interpolates — the two LOCF alternatives a feature pipeline chooses from)
+# --------------------------------------------------------------------------
+@register(
+    "q126_linear_interpolation",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value,
+               (event_type = 'purchase') AS anchor
+        FROM events
+    ), nb AS (
+        SELECT event_id, user_id, us, anchor,
+               last_value(CASE WHEN anchor THEN us END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+               last_value(CASE WHEN anchor THEN value END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+               first_value(CASE WHEN anchor THEN us END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us,
+               first_value(CASE WHEN anchor THEN value END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val
+        FROM base
+    )
+    SELECT event_id, user_id, CAST(us AS BIGINT) AS us,
+           ROUND(prev_val + (next_val - prev_val)
+                 * (CAST(us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE)),
+                 6) AS interp_value
+    FROM nb
+    WHERE NOT anchor AND prev_us IS NOT NULL AND next_us IS NOT NULL
+          AND next_us > prev_us
+    ORDER BY event_id
+    """,
+    doc="linear gap interpolation: estimate the 'purchase' value series at "
+    "every non-anchor event time by interpolating between each user's "
+    "surrounding anchor observations — q82's forward fill holds the last "
+    "value flat; this weights the two neighbors by exact integer-"
+    "microsecond distance (the sensor/price resampling primitive). ONE "
+    "shuffle on the user key serves all four IGNORE-NULLS running frames "
+    "(same window spec -> one Window exec pass); the fraction divides "
+    "exact integer micros and the value arithmetic is a fixed double "
+    "expression tree — identical in both engines, rounded at 6 dp for "
+    "display. Rows before the first / after the last anchor (or in a "
+    "zero-width gap) are excluded, not guessed",
+    tags=("B16", "B23"),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    anchor = F.col("event_type") == "purchase"
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        anchor.alias("anchor"),
+        "value",
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    a_us = F.when(F.col("anchor"), F.col("us"))
+    a_val = F.when(F.col("anchor"), F.col("value"))
+    nb = base.select(
+        "event_id",
+        "user_id",
+        "us",
+        "anchor",
+        F.last(a_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.last(a_val, ignorenulls=True).over(wp).alias("prev_val"),
+        F.first(a_us, ignorenulls=True).over(wn).alias("next_us"),
+        F.first(a_val, ignorenulls=True).over(wn).alias("next_val"),
+    )
+    return (
+        nb.filter(
+            (~F.col("anchor"))
+            & F.col("prev_us").isNotNull()
+            & F.col("next_us").isNotNull()
+            & (F.col("next_us") > F.col("prev_us"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").cast("bigint").alias("us"),
+            F.round(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val"))
+                * (
+                    (F.col("us") - F.col("prev_us")).cast("double")
+                    / (F.col("next_us") - F.col("prev_us")).cast("double")
+                ),
+                6,
+            ).alias("interp_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding covariance matrix (E3/E4 companion: the one-pass moment matrix
+# PCA / whitening / Mahalanobis all start from)
+# --------------------------------------------------------------------------
+@register(
+    "q127_embedding_covariance",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id,
+               unnest(list_transform(range(0, len(embedding)),
+                      i -> {'i': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS u
+        FROM embeddings
+    ), flat AS (
+        SELECT vec_id, u.i AS i, u.v AS v FROM el
+    ), n AS (
+        SELECT COUNT(*) AS n FROM embeddings
+    ), sums AS (
+        SELECT i, SUM(CAST(v AS DECIMAL(38,25))) AS s FROM flat GROUP BY i
+    ), prods AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(a.v * b.v AS DECIMAL(38,25))) AS sp
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i AS i, p.j AS j,
+           ROUND(CAST(p.sp AS DOUBLE) / n.n
+                 - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n),
+                 7) AS cov
+    FROM prods p
+    JOIN sums si ON p.i = si.i
+    JOIN sums sj ON p.j = sj.i
+    CROSS JOIN n
+    ORDER BY i, j
+    """,
+    doc="embedding covariance matrix (upper triangle, population): ONE pass "
+    "computes every E[v_i v_j] co-moment and the per-dimension sums; "
+    "cov = E[xy] - E[x]E[y] assembles at the d^2-row stage. This is the "
+    "moment matrix PCA / ZCA-whitening / Mahalanobis scoring start from, "
+    "and `operators/vector.top_principal_component` power-iterates it "
+    "driver-side (64x64 = bounded metadata). 100 TB: the expansion is "
+    "NARROW (posexplode + per-row upper-triangle slice, no shuffle until "
+    "the (i,j) aggregate — d(d+1)/2 = 2080 groups with map-side partials); "
+    "per-term DECIMAL casts make both sums order-independent, so Spark "
+    "and the oracle's all-pairs formulation agree exactly; display "
+    "rounded at 7 dp. The numpy-batched `vector.gram_matrix` is the "
+    "same aggregation with Arrow partials (for d in the thousands)",
+    tags=("E3", "E4", "B26", "B11"),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    n = emb.agg(F.count("*").alias("n"))
+    sums = flat.groupBy("i").agg(F.sum(F.col("v").cast("decimal(38,25)")).alias("s"))
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).select("vec_id", F.posexplode("e").alias("i", "vi"), F.col("e"))
+    pairs = base.select(
+        "i",
+        F.col("vi"),
+        F.posexplode(F.slice("e", F.col("i") + 1, F.size("e") - F.col("i"))).alias(
+            "dj", "vj"
+        ),
+    )
+    prods = (
+        pairs.select(
+            "i",
+            (F.col("i") + F.col("dj")).alias("j"),
+            (F.col("vi") * F.col("vj")).cast("decimal(38,25)").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+    )
+    si = sums.select(F.col("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sp").cast("double") / F.col("n")
+                - (F.col("s_i").cast("double") / F.col("n"))
+                * (F.col("s_j").cast("double") / F.col("n")),
+                7,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+# running-peak drawdown (B16 finance companion to q102 OHLC / q110 TWAP)
+# --------------------------------------------------------------------------
+@register(
+    "q128_max_drawdown",
+    oracle="""
+    WITH run AS (
+        SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(MAX(peak - value), 6) AS max_drawdown,
+           ROUND(MAX(peak), 6) AS peak_value,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM run GROUP BY user_id ORDER BY user_id
+    """,
+    doc="per-user maximum drawdown: largest drop of the event-value series "
+    "below its running peak (the risk metric OHLC bars and TWAP sit next "
+    "to). A running MAX then a hash aggregate — no sums at all, so every "
+    "number is an exact comparison result and the only rounding is "
+    "display. ONE shuffle on the user key; the aggregate reuses the "
+    "window's partitioning (no second exchange). The running max frame "
+    "is the streaming-safe formulation: at 100 TB the same metric runs "
+    "incrementally as a stateful stream (peak carried as state)",
+    tags=("B16", "B11"),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    return (
+        run.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("value")), 6).alias("max_drawdown"),
+            F.round(F.max("peak"), 6).alias("peak_value"),
+            F.count("*").cast("bigint").alias("n_obs"),
+        )
+        .orderBy("user_id")
+    )

@@ -221,6 +221,71 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q124 per-language gate percentile: documents below their LANGUAGE's p25
+#: verbosity score are cut (a global cutoff would miscalibrate across
+#: languages whose score distributions differ — zh's chars/token baseline is
+#: nothing like de's).
+GATE_Q = 0.25
+
+
+@register(
+    "q124_adaptive_quality_gate",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS DOUBLE)
+                 / len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t != '')) AS score
+        FROM documents
+    ), thr AS (
+        SELECT lang, quantile_disc(score, {GATE_Q}) AS thr FROM feat GROUP BY lang
+    )
+    SELECT f.doc_id, f.lang,
+           ROUND(f.score, 6) AS score_r,
+           ROUND(t.thr, 6) AS lang_thr
+    FROM feat f JOIN thr t USING (lang)
+    WHERE f.score >= t.thr
+    ORDER BY doc_id
+    """,
+    doc="adaptive per-language quality gate: score every document by "
+    "chars-per-token (verbosity), compute each language's p25 score with "
+    "an exact percentile_disc (a DATA value — no interpolation, no float "
+    "boundary), and keep documents at or above their OWN language's "
+    "threshold. Fixed global cutoffs over-prune terse scripts and "
+    "under-prune verbose ones; gating within-language calibrates the "
+    "knife. 100 TB: the threshold table is |languages| rows — one "
+    "per-lang sorted-agg percentile, broadcast back; the gate itself is "
+    "a narrow filter. Unbounded-cardinality group keys would swap the "
+    "exact percentile for approx_percentile (q32's sketch)",
+    tags=("E5", "B11", "B31"),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    d = load(spark, sf, "documents")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("n_chars").cast("double") / text_ops.token_count(F.col("text"))
+        ).alias("score"),
+    )
+    thr = feat.groupBy("lang").agg(
+        F.expr(f"percentile_disc({GATE_Q}) WITHIN GROUP (ORDER BY score)").alias("thr")
+    )
+    return (
+        feat.join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("thr"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round("score", 6).alias("score_r"),
+            F.round("thr", 6).alias("lang_thr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: q121 head gate: tokens with corpus frequency below this are excluded from
 #: the Zipf fit (the rank-frequency head is where the power law lives, and
 #: the gate is what bounds the ranked set at scale: <= total_tokens/MINFREQ

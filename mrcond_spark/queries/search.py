@@ -1,0 +1,217 @@
+"""Text-retrieval tier (round-5 additions): exact set-similarity join and
+BM25 ranked retrieval.
+
+The dedup tier answers "which documents are near-duplicates" with
+approximate methods (MinHash q47, SimHash q48, SemDeDup q99); this tier
+adds the two EXACT retrieval primitives a corpus platform needs next:
+
+- q123: the exact all-pairs similarity join (prefix filtering, AllPairs/
+  PPJoin family) — guaranteed-complete near-dup pairs at a Jaccard
+  threshold, the ground-truth generator the approximate tiers are
+  calibrated against;
+- q125: BM25 ranked retrieval over the corpus for a fixed query — the
+  canonical lexical scorer (Robertson/Spärck Jones probabilistic relevance
+  framework), built on the same df/tf statistics as the q114 inverted
+  index.
+
+Both carry full DuckDB hash oracles. Float discipline: q125's only
+transcendental (``ln`` in idf) is computed once per QUERY TERM, rounded to
+7 decimals; each per-(doc,term) contribution is rounded and cast to
+DECIMAL before the per-document sum, so the data-sized arithmetic is
+order-independent in both engines (the q118 recipe).
+
+Reference parity note: f-squirrel/mrcond is a CDC connector with no batch
+surface (SURVEY §1); this module belongs to the mandated north-star
+extension, same as queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup, text
+from ..operators.setsim import prefix_setsim_join
+from . import register
+
+#: q123 shingle width and Jaccard threshold (rational: gates stay integer).
+#: 3/4 is the near-dup regime; measured at sf0.1 it generates 4.4x fewer
+#: candidate pairs than 1/2 (70,731 vs 309,803) while the true-pair set is
+#: identical (the planted near-dups sit at J ~= 1).
+SHINGLE_N = 3
+T_NUM, T_DEN = 3, 4
+
+#: q125 query terms (mixed document frequency: one rare, two common) and the
+#: standard BM25 free parameters
+BM25_TERMS = ("dup", "spark", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "q123_setsim_join",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(toks) - {SHINGLE_N}, 0) + 1),
+            i -> array_to_string(toks[i+1:i+{SHINGLE_N}], ' ')))) AS g
+        FROM toked
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b,
+           ROUND(CAST(p.inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE {T_DEN} * p.inter >= {T_NUM} * (sa.sz + sb.sz - p.inter)
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT all-pairs set-similarity self-join at Jaccard >= "
+    f"{T_NUM}/{T_DEN} over {SHINGLE_N}-gram shingle sets "
+    "(`operators/setsim.prefix_setsim_join`, AllPairs/PPJoin prefix "
+    "filtering) — complete ground truth where MinHash/SimHash are "
+    "probabilistic. The oracle goes all-pairs (fine at sf0.01); the Spark "
+    "plan never does: candidates come from an equi-join on frequency-"
+    "ordered PREFIX shingles only (recall exactly 1 by the prefix-length "
+    "theorem; hot boilerplate grams sort last and never enter a prefix, "
+    "capping the join-key skew by construction), then one exact JVM "
+    "array_intersect verify per candidate. Every gate is integer "
+    "arithmetic — no float threshold ambiguity anywhere",
+    tags=("E2", "B26"),
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
+    d = load(spark, sf, "documents")
+    # The shingle arrays feed FOUR plan branches (frequency count, ordered
+    # assembly, and both verify sides); one evaluation + stored blocks beats
+    # four UDF passes here (measured 11.7 s -> ~6 s at sf0.1) — unlike the
+    # single-consumer shingle stages the repo's recompute rule covers.
+    sets = materialize_once(
+        d.select("doc_id", dedup.shingle_udf(SHINGLE_N)(F.col("text")).alias("sh"))
+    )
+    out = prefix_setsim_join(sets, id_col="doc_id", set_col="sh", t_num=T_NUM, t_den=T_DEN)
+    return out.orderBy("id_a", "id_b")
+
+
+@register(
+    "q125_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t != '')) AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        WHERE tok IN {BM25_TERMS!r} GROUP BY doc_id, tok
+    ), dfq AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN {BM25_TERMS!r} GROUP BY tok
+    ), idf AS (
+        SELECT tok,
+               ROUND(ln(1 + ((c.n_docs - df) + 0.5) / (df + 0.5)), 7) AS idf
+        FROM dfq CROSS JOIN corpus c
+    ), contrib AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   (i.idf * (t.tf * {BM25_K1 + 1}))
+                   / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + ({BM25_B} * CAST(d.dl AS DOUBLE)) / c.avgdl)),
+               7) AS DECIMAL(20,7)) AS c7
+        FROM tf t
+        JOIN idf i USING (tok)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(CAST(SUM(c7) AS DECIMAL(38,7)) AS DOUBLE) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 top-{BM25_TOPK} retrieval for the fixed query "
+    f"{BM25_TERMS!r} (k1={BM25_K1}, b={BM25_B}): the canonical lexical "
+    "ranker, sharing its df/tf statistics with the q114 inverted index. "
+    "100 TB shape: ONE token shuffle feeds doc-length, per-term tf, and "
+    "per-term df; the idf table is |query| rows and the corpus scalars "
+    "(N, avgdl) one row — both broadcast into the per-doc scoring join, "
+    "which shuffles only the docs containing a query term (an IN-list "
+    "pushdown-able gate). The ln idf is rounded per TERM, each (doc,term) "
+    "contribution rounded to 7 dp and decimal-summed, so the score is "
+    "bit-stable; top-k has a total (score DESC, doc_id) tiebreak",
+    tags=("E5", "B18"),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    matches = tk.filter(F.col("tok").isin(*BM25_TERMS))
+    tf = matches.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("tf"))
+    dfq = matches.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.round(
+            F.log(
+                F.lit(1)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+            7,
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("idf") * (F.col("tf") * F.lit(BM25_K1 + 1)))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + (F.lit(BM25_B) * F.col("dl").cast("double")) / F.col("avgdl")
+                    )
+                ),
+                7,
+            )
+            .cast("decimal(20,7)")
+            .alias("c7"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("c7").cast("decimal(38,7)").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )

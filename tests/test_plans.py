@@ -126,6 +126,8 @@ _NONEQUI_OK = {
     "q93_mixture_rebalance",  # same 1-row scalar cross into the per-source prob table
     "q108_pmi_collocations",  # two 1-row corpus-total scalars broadcast-crossed into the pair table
     "q118_importance_weights",  # 1-row (raw,target) totals broadcast-crossed into the 64-bucket table
+    "q125_bm25_topk",  # 1-row (N, avgdl) corpus scalars broadcast-crossed into idf + scoring
+    "q127_embedding_covariance",  # 1-row vector-count scalar broadcast-crossed into the d^2 cov table
 }
 
 

@@ -1,0 +1,105 @@
+"""Unit tests for the round-5 retrieval/vector additions: prefix-filtered
+set-similarity join (operators/setsim.py), numpy gram matrix and power
+iteration (operators/vector.py). Full-corpus hash checks live in
+test_oracle.py (q123–q128)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mrcond_spark.operators.setsim import prefix_setsim_join
+from mrcond_spark.operators.vector import gram_matrix, top_principal_component
+
+
+def brute_force_pairs(sets: dict[int, set], t_num: int, t_den: int):
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and t_den * inter >= t_num * union:
+            out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (3, 4), (9, 10)])
+def test_setsim_matches_brute_force(spark, t_num, t_den):
+    """Randomized recall/precision check: the prefix-filtered join must
+    return EXACTLY the brute-force pair set at the threshold — the prefix
+    theorem promises recall 1, the verify stage precision 1."""
+    rng = random.Random(42)
+    vocab = [f"w{k}" for k in range(30)]
+    sets = {}
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(1, 12))
+        sets[i] = set(base)
+        # plant mutated near-copies so every threshold tier has true pairs
+        if i % 4 == 0:
+            mutated = set(base)
+            if len(mutated) > 1 and rng.random() < 0.7:
+                mutated.pop()
+            sets[1000 + i] = mutated
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()], "id long, toks array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+        for r in prefix_setsim_join(df, "id", "toks", t_num, t_den).collect()
+    }
+    assert got == brute_force_pairs(sets, t_num, t_den)
+
+
+def test_setsim_empty_set_rows_are_safe(spark):
+    """Zero-element sets produce no prefix rows and no pairs (never a
+    divide-by-zero or a negative slice length)."""
+    df = spark.createDataFrame(
+        [(1, []), (2, ["a"]), (3, ["a"])], "id long, toks array<string>"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in prefix_setsim_join(df).collect()}
+    assert got == {(2, 3)}
+
+
+def test_gram_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 6))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
+    )
+    out = {(r["i"], r["j"]): r["cov"] for r in gram_matrix(df).collect()}
+    expected = np.cov(x, rowvar=False, bias=True)
+    for (i, j), v in out.items():
+        assert v == pytest.approx(expected[i, j], abs=1e-9)
+    assert len(out) == 6 * 7 // 2
+
+
+def test_gram_matrix_uncentered_is_xtx(spark):
+    x = np.arange(12, dtype=float).reshape(4, 3)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
+    )
+    out = {(r["i"], r["j"]): r["cov"] for r in gram_matrix(df, centered=False).collect()}
+    g = x.T @ x
+    for (i, j), v in out.items():
+        assert v == pytest.approx(g[i, j], abs=1e-9)
+
+
+def test_top_principal_component_matches_eigh(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(200, 5)) @ np.diag([5.0, 2.0, 1.0, 0.5, 0.1])
+    cov = np.cov(x, rowvar=False, bias=True)
+    iu, ju = np.triu_indices(5)
+    df = spark.createDataFrame(
+        [(int(i), int(j), float(cov[i, j])) for i, j in zip(iu, ju)],
+        "i int, j int, cov double",
+    )
+    ev, vec = top_principal_component(df)
+    w, v = np.linalg.eigh(cov)
+    assert ev == pytest.approx(w[-1], rel=1e-9)
+    lead = v[:, -1]
+    if lead[np.argmax(np.abs(lead))] < 0:
+        lead = -lead
+    assert np.allclose(vec, lead, atol=1e-8)
