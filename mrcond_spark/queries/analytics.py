@@ -1023,3 +1023,70 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# session path analysis (q63 sessionization -> q113 transitions' sibling:
+# whole-journey frequencies instead of one-step probabilities)
+# --------------------------------------------------------------------------
+@register(
+    "q131_session_paths",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ), sess AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+        ) AS session_seq
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    doc="top user-journey paths: gap-sessionize (1h, the q63 idiom), "
+    "concatenate each session's ordered event types into a path string, "
+    "count identical journeys corpus-wide, keep the 20 most common — the "
+    "product-analytics view next to q113's one-step Markov transitions "
+    "(whole journeys vs memoryless steps). ONE user-key shuffle serves "
+    "lag + running-sum + path assembly (same partitioning); the path "
+    "count is a second shuffle whose keys are bounded by distinct "
+    "journey strings with map-side partials; top-20 has a total "
+    "(count DESC, path) tiebreak. At 100 TB add a path-length cap "
+    "before assembly so a runaway session cannot build an unbounded "
+    "string (the q85 chunking guard)",
+    tags=("B15", "B16", "B23", "B18"),
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    sess = sessionize(
+        ev, key_col="user_id", ts_col="ts", order_cols=("event_id",), gap_seconds=3600
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -1949,3 +1949,50 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history materialization (q68's history-keeping sibling: the OTHER
+# batch view a CDC consumer builds — full validity intervals, not latest)
+# --------------------------------------------------------------------------
+@register(
+    "q129_scd2_history",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_version,
+           (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    doc="slowly-changing-dimension type-2 materialization of the change "
+    "stream: every version of a key gets [valid_from, valid_to) validity "
+    "bounds (exact integer micros), a version number, and an is_current "
+    "flag — q68 keeps only the latest row; this keeps the full history a "
+    "time-travel join (q31 as-of) consumes. ONE shuffle on the "
+    "high-cardinality key serves both window functions (same WINDOW "
+    "spec); no aggregation, no Python. The reference's downstream "
+    "consumers build exactly this view from the queue "
+    "(mrcond/src/replicator.rs:105 ships each change event; versioning "
+    "is the consumer's job — this is that job as one declarative window)",
+    tags=("B15", "B16", "B23"),
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    nxt = F.lead(us, 1).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            us.cast("bigint").alias("valid_from_us"),
+            nxt.cast("bigint").alias("valid_to_us"),
+            F.row_number().over(w).cast("bigint").alias("row_version"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("event_id")
+    )

@@ -215,3 +215,86 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+#: q130 RRF constant (the standard k=60 from Cormack/Clarke/Buettcher) and
+#: per-language result depth
+RRF_K = 60
+RRF_TOPN = 5
+
+
+@register(
+    "q130_rrf_fusion",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(lower(trim(text)), '\\s+')) AS uniq_ratio
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY uniq_ratio DESC, doc_id) AS r_q,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r_l
+        FROM feat
+    ), fused AS (
+        SELECT doc_id, lang, r_q, r_l,
+               1.0 / ({RRF_K} + r_q) + 1.0 / ({RRF_K} + r_l) AS rrf
+        FROM ranked
+    )
+    SELECT lang, doc_id,
+           CAST(r_q AS BIGINT) AS r_q,
+           CAST(r_l AS BIGINT) AS r_l,
+           ROUND(rrf, 6) AS rrf6
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {RRF_TOPN}
+    ORDER BY lang, doc_id
+    """,
+    doc=f"reciprocal-rank fusion (k={RRF_K}) of two per-language document "
+    "rankings — unique-token quality and raw length — keeping each "
+    f"language's top {RRF_TOPN}: the standard way to merge heterogeneous "
+    "retrieval signals (BM25 q125, cosine q41) without score calibration, "
+    "because only RANKS enter the formula. Every window partitions by "
+    "lang (no global single-reducer ranking — the corpus-wide plan guard "
+    "forbids it); the fused score is a fixed two-term double expression "
+    "(not an aggregation), so it is bit-identical across engines and the "
+    "final top-N has a total (rrf DESC, doc_id) tiebreak",
+    tags=("B15", "B18", "E5"),
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.size(F.array_distinct(arr)).cast("double") / F.size(arr)).alias("uniq_ratio"),
+    )
+    wq = Window.partitionBy("lang").orderBy(F.desc("uniq_ratio"), "doc_id")
+    wl = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = feat.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(wq).alias("r_q"),
+        F.row_number().over(wl).alias("r_l"),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_q")) + F.lit(1.0) / (F.lit(RRF_K) + F.col("r_l")),
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= RRF_TOPN)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("r_q").cast("bigint").alias("r_q"),
+            F.col("r_l").cast("bigint").alias("r_l"),
+            F.round("rrf", 6).alias("rrf6"),
+        )
+        .orderBy("lang", "doc_id")
+    )

@@ -747,3 +747,36 @@ def test_ngram_novelty(spark):
     assert out[1]["novelty_bp"] == 10000 and out[1]["n_grams"] == 3
     assert out[2]["novelty_bp"] == 0
     assert out[3]["n_novel"] == 2 and out[3]["novelty_bp"] == 6666
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """E6 resize is REAL: a synthetic P6 gradient resized 8x6 -> 4x3 must
+    reproduce numpy's center-aligned nearest-neighbor selection exactly,
+    round-tripped through the re-encoded netpbm bytes."""
+    import numpy as np
+
+    w, h = 8, 6
+    arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    data = b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    assets = spark.createDataFrame(
+        [(1, "image", "mem://a", bytearray(data), "image/x-portable-pixmap", (w, h, None))],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = multimodal.resize_images(assets, out_w=4, out_h=3).collect()
+    assert len(out) == 1 and out[0]["resize_error"] is None
+    got = multimodal.decode_image(bytes(out[0]["data"]))
+    ys = np.minimum(((np.arange(3) + 0.5) * h / 3).astype(int), h - 1)
+    xs = np.minimum(((np.arange(4) + 0.5) * w / 4).astype(int), w - 1)
+    assert got.shape == (3, 4, 3)
+    assert (got == arr[ys][:, xs]).all()
+
+
+def test_resize_images_poison_blob_tagged(spark):
+    """A corrupt payload must produce an error row, not a stage failure."""
+    assets = spark.createDataFrame(
+        [(7, "image", "mem://bad", bytearray(b"\x00\x01garbage"), "image/png", (0, 0, None))],
+        multimodal.ASSET_SCHEMA,
+    )
+    out = multimodal.resize_images(assets).collect()
+    assert len(out) == 1
+    assert out[0]["data"] is None and out[0]["resize_error"]
