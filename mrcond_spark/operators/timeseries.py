@@ -119,3 +119,64 @@ def time_weighted_average(
             ).alias(out_col),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    drift_col: str,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """Per-key one-sided CUSUM over a precomputed drift column:
+    ``S_i = max(0, S_{i-1} + drift_i)``, ``S_0 = 0`` — the classic
+    change-point statistic (Page 1954): the running sum of evidence for an
+    upward mean shift, clamped at zero so old evidence cannot go negative.
+
+    The caller computes ``drift = value - mu - slack`` JVM-side (keeping
+    any exact-decimal reference-mean arithmetic out of Python); this
+    operator only walks the recurrence. ``order_cols`` must totally order
+    rows per key (the recurrence is order-dependent).
+
+    Determinism: the walk applies EXACTLY the scalar op sequence
+    ``max(0, s + d)`` per row (a frompyfunc accumulate — not the
+    vectorized cumsum-minus-running-min identity, whose different float
+    op order would drift in the last ulp from a recursive-SQL oracle).
+
+    Scale shape (100 TB): one shuffle on the high-cardinality key, one
+    Arrow walk per group — the batch analog of a stateful stream
+    (applyInPandasWithState carries S as the state value). Self-contained
+    closure (cloudpickle by-value).
+    """
+    keyed = df.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(drift_col).cast("double").alias("__d"),
+    )
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    otypes = [keyed.schema[c].dataType.simpleString() for c in ocols]
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(ocols).reset_index(drop=True)
+        step = np.frompyfunc(lambda s, d: max(0.0, s + d), 2, 1)
+        d = pdf["__d"].to_numpy()
+        acc = step.accumulate(
+            np.concatenate(([0.0], d)).astype(object)
+        )[1:]
+        pdf["__s"] = acc.astype(np.float64)
+        return pdf
+
+    schema = ", ".join(
+        ["__k " + keyed.schema["__k"].dataType.simpleString()]
+        + [f"{c} {t}" for c, t in zip(ocols, otypes)]
+        + ["__d double", "__s double"]
+    )
+    out = keyed.groupBy("__k").applyInPandas(walk, schema=schema)
+    return out.select(
+        F.col("__k").alias(key_col),
+        *[F.col(f"__o{i}").alias(c) for i, c in enumerate(order_cols)],
+        F.col("__d").alias(drift_col),
+        F.col("__s").alias(out_col),
+    )

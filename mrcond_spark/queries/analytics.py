@@ -1090,3 +1090,176 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition over the co-purchase graph (graph tier: q112
+# PageRank scores influence, q120 counts triangles, this finds the dense
+# backbone that survives iterative pruning)
+# --------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 6  # converges in 3 (sf0.01) / 5 (sf0.1) peels; 6 adds margin
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    head = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= 2
+    ), adj AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), a0 AS (
+        SELECT DISTINCT u AS node FROM adj
+    )"""
+    stages = []
+    for r in range(1, rounds + 1):
+        stages.append(f""", d{r} AS (
+        SELECT adj.u AS node, COUNT(*) AS deg
+        FROM adj
+        JOIN a{r - 1} x ON adj.u = x.node
+        JOIN a{r - 1} y ON adj.v = y.node
+        GROUP BY adj.u
+    ), a{r} AS (
+        SELECT node FROM d{r} WHERE deg >= {k}
+    )""")
+    tail = f""", dfin AS (
+        SELECT adj.u AS node, COUNT(*) AS deg
+        FROM adj
+        JOIN a{rounds} x ON adj.u = x.node
+        JOIN a{rounds} y ON adj.v = y.node
+        GROUP BY adj.u
+    )
+    SELECT node AS partkey, CAST(deg AS BIGINT) AS core_degree
+    FROM dfin ORDER BY partkey"""
+    return head + "".join(stages) + tail
+
+
+@register(
+    "q132_kcore",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    doc=f"{KCORE_ROUNDS}-round {KCORE_K}-core peel of the support-gated "
+    "co-purchase graph (q120's edge list): repeatedly drop vertices whose "
+    "degree among survivors falls below k — the dense backbone left is "
+    "where basket-recommendation signals live. Declared semantics are the "
+    "FIXED-round peel (integer-exact, oracle = unrolled CTE stages; the "
+    "peel converges in 3-5 rounds at test scales so the result IS the "
+    "true 2-core there); production runs to fixpoint with the "
+    "components-loop idiom — per-round materialize_once keeps lineage "
+    "flat, a monotone survivor-count fixpoint scalar stops the loop. "
+    "100 TB: each round is one vertex-keyed degree aggregate over the "
+    "support-pruned edge list (two semi joins + hash agg, map-side "
+    "partials); the support gate caps hot vertices before any round runs",
+    tags=("B4", "B11", "E5"),
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
+    items = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    adj = materialize_once(edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    alive = adj.select(F.col("u").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            adj.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = materialize_once(
+            deg.filter(F.col("deg") >= KCORE_K).select(F.col("u").alias("node"))
+        )
+    dfin = (
+        adj.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count("*").alias("deg"))
+    )
+    return dfin.select(
+        F.col("u").alias("partkey"), F.col("deg").cast("bigint").alias("core_degree")
+    ).orderBy("partkey")
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point statistic (q92 EWMA's sibling recurrence: shift
+# detection instead of smoothing; recursive-CTE oracle, same pattern)
+# --------------------------------------------------------------------------
+CUSUM_SLACK = 0.5
+CUSUM_H = 3.0  # alarm threshold
+
+
+@register(
+    "q133_cusum_shift",
+    oracle=f"""
+    WITH RECURSIVE mu AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+        FROM events WHERE user_id % 100 = 0 GROUP BY user_id
+    ), ev AS (
+        SELECT e.user_id, e.event_id,
+               (e.value - m.mu) - {CUSUM_SLACK} AS drift,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN mu m USING (user_id) WHERE e.user_id % 100 = 0
+    ), rec AS (
+        SELECT user_id, event_id, drift, rn,
+               GREATEST(0.0, 0.0 + drift) AS s
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT ev.user_id, ev.event_id, ev.drift, ev.rn,
+               GREATEST(0.0, rec.s + ev.drift)
+        FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(1000000 * s) AS BIGINT) AS cusum_e6,
+           (s > {CUSUM_H}) AS alarm
+    FROM rec ORDER BY user_id, event_id
+    """,
+    doc="per-user one-sided CUSUM change-point statistic (Page's test): "
+    f"S_i = max(0, S_(i-1) + (value - mu - {CUSUM_SLACK})), alarm at "
+    f"S > {CUSUM_H} — the sequential drift detector a metrics pipeline "
+    "runs where q115's z-score flags single points. The reference mean is "
+    "decimal-exact per user (bit-equal across engines); the clamp "
+    "recurrence is not a SQL window frame but IS a linear recursive CTE "
+    "(the q92 pattern), and `operators/timeseries.cusum` applies the "
+    "IDENTICAL scalar op sequence per row (frompyfunc accumulate, not the "
+    "cumsum-minus-running-min identity whose float order differs), so "
+    "FLOOR(1e6*s) hash-matches. One user-key shuffle + one Arrow walk; "
+    "streaming form carries S in applyInPandasWithState (S11)",
+    tags=("E5", "E7", "B16"),
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import cusum
+
+    ev = load(spark, sf, "events").filter(F.col("user_id") % 100 == 0)
+    mu = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(28,12)")).cast("double") / F.count("*")).alias(
+            "mu"
+        )
+    )
+    drifted = ev.join(F.broadcast(mu), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("value") - F.col("mu")) - F.lit(CUSUM_SLACK)).alias("drift"),
+    )
+    out = cusum(drifted, key_col="user_id", order_cols=("ts", "event_id"), drift_col="drift")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.lit(1000000.0) * F.col("cusum")).cast("bigint").alias("cusum_e6"),
+        (F.col("cusum") > F.lit(CUSUM_H)).alias("alarm"),
+    ).orderBy("user_id", "event_id")

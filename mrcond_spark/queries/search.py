@@ -173,7 +173,9 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     )
     matches = tk.filter(F.col("tok").isin(*BM25_TERMS))
     tf = matches.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("tf"))
-    dfq = matches.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df re-aggregates the (doc, term) tf rows — one row per matching doc —
+    # instead of re-scanning the token stream with a countDistinct
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = dfq.crossJoin(F.broadcast(corpus)).select(
         "tok",
         F.round(

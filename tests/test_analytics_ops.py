@@ -131,3 +131,35 @@ def test_pmi_short_docs_yield_no_pairs(spark):
         [(1, "solo"), (2, ""), (3, "   ")], "doc_id int, text string"
     )
     assert pmi_collocations(df, min_count=1).count() == 0
+
+
+def test_cusum_hand_case(spark):
+    """drift [1, -2, 2, 1] -> S = [1, 0, 2, 3] (clamped at zero)."""
+    from mrcond_spark.operators.timeseries import cusum
+
+    rows = [(1, i + 1, d) for i, d in enumerate([1.0, -2.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "k int, seq int, drift double")
+    out = cusum(df, key_col="k", order_cols=("seq",), drift_col="drift")
+    got = [r["cusum"] for r in out.orderBy("seq").collect()]
+    assert got == [1.0, 0.0, 2.0, 3.0]
+
+
+def test_cusum_matches_reference_loop(spark):
+    """Randomized parity with the plain Python recurrence, per key."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(k, i, rng.uniform(-2, 2)) for k in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, "k int, seq int, drift double")
+    from mrcond_spark.operators.timeseries import cusum
+
+    got = {
+        (r["k"], r["seq"]): r["cusum"]
+        for r in cusum(df, key_col="k", order_cols=("seq",), drift_col="drift").collect()
+    }
+    for k in range(3):
+        s = 0.0
+        for i in range(50):
+            d = next(v for kk, ii, v in rows if kk == k and ii == i)
+            s = max(0.0, s + d)
+            assert got[(k, i)] == s, (k, i)
