@@ -248,3 +248,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_cusum(
+    stream: DataFrame,
+    reference_means: DataFrame,
+    slack: float = 0.5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """S11/E5 hybrid: streaming one-sided CUSUM — the live half of the q133
+    change-point statistic (train per-user reference means in batch with
+    decimal-exact arithmetic, carry ``S = max(0, S + drift)`` per user in
+    the state store across micro-batches, emit rows whose updated S
+    crosses the alarm threshold).
+
+    ``reference_means`` must carry ``(user_id, mu)``; it is broadcast per
+    micro-batch so a nightly-refreshed mean table is picked up without a
+    restart (the ``stream_zscore_anomalies`` contract). Rows walk in
+    (ts, event_id) order WITHIN each micro-batch; cross-batch order is
+    arrival order — the standard at-least-once streaming recurrence
+    caveat (an in-order replay reproduces the batch q133 alarms exactly;
+    the suite pins that equivalence).
+
+    Scale: state is ONE double per user; each micro-batch shuffles only
+    on user_id (same key as every stateful op here).
+    """
+    drifted = stream.join(F.broadcast(reference_means), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") - F.col("mu") - F.lit(float(slack))).alias("drift"),
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("event_id", LongType(), False),
+            StructField("cusum", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("s", DoubleType(), False)])
+    h = float(threshold)
+
+    def update(key, pdfs, state: GroupState):
+        s = state.get[0] if state.exists else 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, d in zip(pdf["event_id"], pdf["drift"]):
+                s = max(0.0, s + float(d))
+                if s > h:
+                    rows.append((int(key[0]), int(eid), s))
+        state.update((s,))
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "cusum"])
+
+    return (
+        drifted.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -523,3 +523,36 @@ def test_stream_zscore_anomalies(spark, event_stream_dir):
     # flag despite 5.0 being far off a zero-spread distribution
     assert {(r["event_type"], r["value"]) for r in rows} == {("view", 6.0)}
     assert rows[0]["z"] == pytest.approx(4.0, abs=1e-12)
+
+
+def test_stream_cusum_matches_batch_recurrence(spark, event_stream_dir):
+    """Streaming CUSUM alarms over an in-order replay must equal the plain
+    batch recurrence on the same rows (the q133 <-> stream_cusum mirror):
+    mu trained on the full fixture, slack 0, alarm at S > 3."""
+    import pandas as _pd
+
+    rows = sorted(
+        ((i, ts, uid, v) for i, (ts, uid, _et, v) in enumerate(EVENT_ROWS)),
+        key=lambda r: (r[2], r[1], r[0]),
+    )
+    mu = {}
+    for _i, _ts, uid, v in rows:
+        mu.setdefault(uid, []).append(v)
+    mu = {u: sum(vs) / len(vs) for u, vs in mu.items()}
+    expected = set()
+    state = {}
+    for i, _ts, uid, v in rows:
+        s = max(0.0, state.get(uid, 0.0) + (v - mu[uid] - 0.0))
+        state[uid] = s
+        if s > 3.0:
+            expected.add((uid, i))
+    means = spark.createDataFrame(
+        [(u, m) for u, m in mu.items()], "user_id long, mu double"
+    )
+    df = windows.stream_cusum(
+        replay_events(spark, event_stream_dir), means, slack=0.0, threshold=3.0
+    )
+    run_to_memory(spark, df, "cusum_stream", "append")
+    got = {(r["user_id"], r["event_id"]) for r in spark.sql("select * from cusum_stream").collect()}
+    assert expected, "fixture must produce at least one alarm"
+    assert got == expected
