@@ -1263,3 +1263,77 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.lit(1000000.0) * F.col("cusum")).cast("bigint").alias("cusum_e6"),
         (F.col("cusum") > F.lit(CUSUM_H)).alias("alarm"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# one-pass table profiling (data-quality audit: the null/cardinality/range
+# summary every ingestion pipeline runs before trusting a new drop)
+# --------------------------------------------------------------------------
+#: q134 profiled columns: every orders column except o_totalprice — the
+#: double's engine-specific string rendering (1.0E5 vs 100000.0) would make
+#: a VARCHAR min/max unportable; numeric range checks belong to typed
+#: queries (q106), not the string profile.
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "q134_table_profile",
+    oracle="""
+    WITH u AS (
+        """
+    + "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM orders" for c in PROFILE_COLS
+    )
+    + """
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v
+    FROM u GROUP BY col ORDER BY col
+    """,
+    doc="one-pass column profile of the orders table: row/non-null/distinct "
+    "counts plus lexicographic min/max per column (string-typed, so one "
+    "uniform aggregate covers heterogeneous columns) — the data-quality "
+    "gate a pipeline runs on every new ingestion drop before joining it. "
+    "Spark plans ONE scan with a columns-wide Expand (narrow), then a "
+    "(col, value)-keyed partial distinct + a final per-column aggregate — "
+    "map-side partials bound both exchanges. The double column is "
+    "excluded from the VARCHAR profile (engine-specific float rendering); "
+    "at billions of distinct values swap COUNT(DISTINCT) for the q32 "
+    "approx_count_distinct sketch per column",
+    tags=("B11", "B12", "B22"),
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    u = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).cast("string").alias("v")
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v")
+    return (
+        u.groupBy("col")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("v").cast("bigint").alias("n_nonnull"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("col")
+    )
