@@ -73,9 +73,14 @@ def register(
 #: analytics tier q106–q116 (queries/analytics.py), the curation tier
 #: q117–q122 + q124 (queries/curation.py, analytics.py), and the retrieval
 #: tier q123/q125–q128 (queries/search.py, analytics.py) — are
-#: builder-oracle-green and form the round-6 rotation pool (23 candidates
-#: for the ~17 rotating slots; prefer the operator-bearing ones first:
-#: q123 setsim, q127 covariance, q118 DSIR, q119 Bloom, q112 PageRank).
+#: builder-oracle-green and form the round-6 rotation pool (now q106–q135,
+#: 30 candidates for the ~17 rotating slots; prefer the operator-bearing
+#: ones first: q123 setsim, q127 covariance, q132 k-core, q133 CUSUM,
+#: q118 DSIR, q119 Bloom, q112 PageRank). BENCH-LINE BUDGET: at 129
+#: registered queries the worst-case compact summary line is 1853 of the
+#: driver's ~1900-char tail budget
+#: (test_bench_summary_line_fits_driver_tail_window) — re-compact the
+#: bench line BEFORE registering more than ~132 queries.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

@@ -1,9 +1,9 @@
-"""Text-retrieval tier (round-5 additions): exact set-similarity join and
-BM25 ranked retrieval.
+"""Text-retrieval tier (round-5 additions): exact set-similarity join,
+BM25 ranked retrieval, rank fusion, and boolean retrieval.
 
 The dedup tier answers "which documents are near-duplicates" with
 approximate methods (MinHash q47, SimHash q48, SemDeDup q99); this tier
-adds the two EXACT retrieval primitives a corpus platform needs next:
+adds the EXACT retrieval primitives a corpus platform needs next:
 
 - q123: the exact all-pairs similarity join (prefix filtering, AllPairs/
   PPJoin family) — guaranteed-complete near-dup pairs at a Jaccard
@@ -12,9 +12,12 @@ adds the two EXACT retrieval primitives a corpus platform needs next:
 - q125: BM25 ranked retrieval over the corpus for a fixed query — the
   canonical lexical scorer (Robertson/Spärck Jones probabilistic relevance
   framework), built on the same df/tf statistics as the q114 inverted
-  index.
+  index;
+- q130: reciprocal-rank fusion of heterogeneous rankings (rank-only, so no
+  score calibration is needed);
+- q135: boolean AND/NOT retrieval — the posting-list merge primitive.
 
-Both carry full DuckDB hash oracles. Float discipline: q125's only
+All carry full DuckDB hash oracles. Float discipline: q125's only
 transcendental (``ln`` in idf) is computed once per QUERY TERM, rounded to
 7 decimals; each per-(doc,term) contribution is rounded and cast to
 DECIMAL before the per-document sum, so the data-sized arithmetic is
@@ -299,4 +302,70 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf6"),
         )
         .orderBy("lang", "doc_id")
+    )
+
+
+#: q135 boolean query: documents containing ALL of MUST and NONE of MUST_NOT
+BOOL_MUST = ("spark", "window")
+BOOL_MUST_NOT = ("dup",)
+
+
+def _sql_in(terms):
+    # explicit IN-list rendering: repr of a 1-tuple would emit a trailing
+    # comma that only some SQL parsers tolerate
+    return "(" + ", ".join("'" + t + "'" for t in terms) + ")"
+
+
+@register(
+    "q135_boolean_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t != '')) AS tok
+        FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               COUNT(DISTINCT CASE WHEN tok IN {_sql_in(BOOL_MUST)} THEN tok END) AS n_must,
+               MAX(CASE WHEN tok IN {_sql_in(BOOL_MUST_NOT)} THEN 1 ELSE 0 END) AS has_neg
+        FROM toks
+        WHERE tok IN {_sql_in(BOOL_MUST + BOOL_MUST_NOT)}
+        GROUP BY doc_id
+    )
+    SELECT h.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM hits h JOIN documents d USING (doc_id)
+    WHERE h.n_must = {len(BOOL_MUST)} AND h.has_neg = 0
+    ORDER BY doc_id
+    """,
+    doc=f"boolean retrieval: documents matching ALL of {BOOL_MUST!r} and "
+    f"NONE of {BOOL_MUST_NOT!r} — the posting-list AND/NOT primitive "
+    "under every search engine, sharing the q114/q125 token statistics. "
+    "The IN-list gate prunes the token stream BEFORE the aggregate (at "
+    "100 TB with a real inverted index this is a posting-list merge; "
+    "here it is one (doc)-keyed aggregate over only the query terms' "
+    "postings — map-side partials, then a join back for display "
+    "columns). MUST is counted DISTINCT so repeated terms cannot fake "
+    "coverage; MUST_NOT is a flag max, turning the exclusion into part "
+    "of the same single pass instead of a second anti join",
+    tags=("E5", "B6", "B7"),
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    all_terms = BOOL_MUST + BOOL_MUST_NOT
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok").isin(*all_terms))
+    hits = toks.groupBy("doc_id").agg(
+        F.countDistinct(
+            F.when(F.col("tok").isin(*BOOL_MUST), F.col("tok"))
+        ).alias("n_must"),
+        F.max(
+            F.when(F.col("tok").isin(*BOOL_MUST_NOT), F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_neg"),
+    )
+    return (
+        hits.filter((F.col("n_must") == len(BOOL_MUST)) & (F.col("has_neg") == 0))
+        .join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
     )
