@@ -25,8 +25,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
-def materialize_once(df: DataFrame) -> DataFrame:
+def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
     """Evaluate ``df`` exactly once and reuse the stored blocks downstream.
+
+    ``eager=False`` defers the materialization to the first action while
+    still truncating lineage — the right mode for FIXED-round iterative
+    plans with no mid-loop action (q132's peel: 7 eager rounds cost a job
+    floor each at construction; lazy ran 3.65 s vs 4.38 s at sf0.1 and
+    keeps plan-audit construction job-free). Keep the eager default for
+    operators whose stage is consumed by SEPARATE jobs (fit/verify
+    pipelines, mid-loop fixpoint checks) — there the build-time job is the
+    point.
 
     For operators whose plan references an expensive stage from several
     branches (LSH self-joins, fit+transform+verify pipelines), Catalyst
@@ -43,4 +52,4 @@ def materialize_once(df: DataFrame) -> DataFrame:
     stage to a table instead. The win is identical: N downstream consumers,
     one computation.
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)

@@ -1171,7 +1171,15 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("u", "v")
     )
-    adj = materialize_once(edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    # lazy materialization: the fixed-round peel has NO mid-loop action, so
+    # eager per-round checkpoints would just pay 7 construction-time job
+    # floors; eager=False still truncates lineage (no 2^rounds subtree
+    # blow-up) but computes everything inside the single final job
+    # (measured 4.38 s -> 3.65 s at sf0.1)
+    adj = materialize_once(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        eager=False,
+    )
     alive = adj.select(F.col("u").alias("node")).distinct()
     for _ in range(KCORE_ROUNDS):
         deg = (
@@ -1181,7 +1189,8 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         alive = materialize_once(
-            deg.filter(F.col("deg") >= KCORE_K).select(F.col("u").alias("node"))
+            deg.filter(F.col("deg") >= KCORE_K).select(F.col("u").alias("node")),
+            eager=False,
         )
     dfin = (
         adj.join(alive.withColumnRenamed("node", "u"), "u")

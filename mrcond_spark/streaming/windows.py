@@ -264,7 +264,8 @@ def stream_cusum(
 
     ``reference_means`` must carry ``(user_id, mu)``; it is broadcast per
     micro-batch so a nightly-refreshed mean table is picked up without a
-    restart (the ``stream_zscore_anomalies`` contract). Rows walk in
+    restart, and users ABSENT from it are dropped — no reference, no
+    drift signal (the ``stream_zscore_anomalies`` contract). Rows walk in
     (ts, event_id) order WITHIN each micro-batch; cross-batch order is
     arrival order — the standard at-least-once streaming recurrence
     caveat (an in-order replay reproduces the batch q133 alarms exactly;
