@@ -68,11 +68,15 @@ def exact_dedup_keep_best(
     ``min_by`` over the key ``(-score, id)`` (no window, no second pass) —
     minimizing the negated score maximizes the score, and the tie falls to
     the struct's second field, so ``id_col`` may be ANY orderable type
-    (string doc ids included); only ``score_col`` must be numeric. Returns
-    full surviving rows.
+    (string doc ids included); only ``score_col`` must be numeric. A NULL
+    score LOSES to every scored duplicate (coalesced to -inf before
+    negation — a bare ``-score`` would make the NULL struct sort first and
+    the unscored copy win); an all-NULL group falls back to min id.
+    Returns full surviving rows.
     """
     key = F.struct(
-        (-F.col(score_col)).alias("negs"), F.col(id_col).alias("id")
+        (-F.coalesce(F.col(score_col), F.lit(float("-inf")))).alias("negs"),
+        F.col(id_col).alias("id"),
     )
     return (
         df.withColumn("__h", text_hash(F.col(text_col)))

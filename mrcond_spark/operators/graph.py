@@ -62,12 +62,17 @@ def pagerank(
     teleport = (1.0 - d) / n_nodes
 
     out_w = e.groupBy("u").agg(F.sum("w").alias("out_w"))
-    # out-degree-normalized edge share: rank flowing u -> v per unit rank
+    # out-degree-normalized edge share: rank flowing u -> v per unit rank.
+    # Lazy checkpoints throughout the fixed-round loop: after the one
+    # nodes.count() action above there is no mid-loop action, so eager
+    # rounds would only pay construction-time job floors (the measured
+    # q132 lazy-peel rule); eager=False still truncates lineage.
     share = materialize_once(
-        e.join(out_w, "u").select("u", "v", (F.col("w") / F.col("out_w")).alias("share"))
+        e.join(out_w, "u").select("u", "v", (F.col("w") / F.col("out_w")).alias("share")),
+        eager=False,
     )
 
-    ranks = materialize_once(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
+    ranks = materialize_once(nodes.withColumn("rank", F.lit(1.0 / n_nodes)), eager=False)
     for _ in range(int(iterations)):
         contrib = (
             share.join(ranks, share.u == ranks.node)
@@ -85,6 +90,7 @@ def pagerank(
                     F.lit(teleport)
                     + F.lit(d) * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0))
                 ).alias("rank"),
-            )
+            ),
+            eager=False,
         )
     return ranks

@@ -21,9 +21,12 @@ def moment_stats(
 ) -> DataFrame:
     """Per-key ``(n, mu, sd)`` with sample (n-1) standard deviation.
 
-    Keys with a single row get ``sd = NaN`` (0.0/0.0); keys with zero
-    spread get ``sd = 0``. Callers joining this back for z-scores should
-    treat both as "no standardization possible".
+    Keys with a single row get ``sd = NaN`` via an explicit ``n > 1``
+    branch (a bare ``/(n-1)`` would raise DIVIDE_BY_ZERO under Spark's
+    default ANSI mode instead of producing the documented NaN — the whole
+    training job would die on one rare key); keys with zero spread get
+    ``sd = 0``. Callers joining this back for z-scores should treat both
+    as "no standardization possible".
     """
     s = df.groupBy(*key_cols).agg(
         F.count("*").cast("bigint").alias("n"),
@@ -33,5 +36,8 @@ def moment_stats(
         .alias("__s2"),
     )
     mu = F.col("__s1") / F.col("n")
-    var = (F.col("__s2") - F.col("n") * mu * mu) / (F.col("n") - F.lit(1.0))
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("__s2") - F.col("n") * mu * mu) / (F.col("n") - F.lit(1.0)),
+    ).otherwise(F.lit(float("nan")))
     return s.select(*key_cols, "n", mu.alias("mu"), F.sqrt(var).alias("sd"))

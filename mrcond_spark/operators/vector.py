@@ -124,9 +124,13 @@ def quantize_embeddings(
         F.lit(0).cast("decimal(38,30)"),
         lambda acc, e: (acc + _dec(e * e)).cast("decimal(38,30)"),
     )
+    # empty vectors get NULL errors (an unguarded /size would raise
+    # DIVIDE_BY_ZERO under ANSI); note the q111 oracle's unnest-based
+    # formulation OMITS such rows entirely, so declared-query inputs are
+    # contract-bound to non-empty vectors (fixture embeddings are fixed-dim)
     return staged.select(
         *df.columns,
-        F.sqrt(ssq.cast("double") / F.size(x)).alias("q_rmse"),
+        F.when(F.size(x) > 0, F.sqrt(ssq.cast("double") / F.size(x))).alias("q_rmse"),
         F.array_max(F.transform(F.col("__err"), F.abs)).alias("q_max_abs_err"),
     )
 

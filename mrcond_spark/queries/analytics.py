@@ -696,17 +696,41 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # co-purchase graph triangle census (graph tier: q112 PageRank's sibling)
 # --------------------------------------------------------------------------
-@register(
-    "q120_copurchase_triangles",
-    oracle="""
-    WITH items AS (
+#: shared co-purchase graph definition (q120 triangle census + q132 k-core):
+#: parts are linked when co-purchased in the same order at least twice — the
+#: support gate is THE shared knob; both queries must see the same graph.
+COPURCHASE_SUPPORT = 2
+
+COPURCHASE_EDGES_SQL = """items AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ), edges AS (
         SELECT a.pk AS u, b.pk AS v
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         GROUP BY a.pk, b.pk
         HAVING COUNT(*) >= 2
-    ), tri AS (
+    )"""
+
+
+def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Support-gated co-purchase edge list (u < v), shared by q120/q132."""
+    items = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= COPURCHASE_SUPPORT)
+        .select("u", "v")
+    )
+
+
+@register(
+    "q120_copurchase_triangles",
+    oracle="WITH " + COPURCHASE_EDGES_SQL + """, tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u
@@ -734,22 +758,12 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B4", "B11", "E5"),
 )
 def q120(spark: SparkSession, sf: str) -> DataFrame:
-    items = load(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    )
     # three join branches reference the edge pipeline; materialize it once
-    # (scan -> distinct -> self-join -> support agg would otherwise run 3x)
+    # (scan -> distinct -> self-join -> support agg would otherwise run 3x).
+    # Lazy: all three branches live in the single final job (q132 rule).
     from ..operators import materialize_once
 
-    edges = materialize_once(edges)
+    edges = materialize_once(copurchase_edges(spark, sf), eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -1102,15 +1116,7 @@ KCORE_ROUNDS = 6  # converges in 3 (sf0.01) / 5 (sf0.1) peels; 6 adds margin
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
-    head = """
-    WITH items AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), edges AS (
-        SELECT a.pk AS u, b.pk AS v
-        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-        GROUP BY a.pk, b.pk
-        HAVING COUNT(*) >= 2
-    ), adj AS (
+    head = "\n    WITH " + COPURCHASE_EDGES_SQL + """, adj AS (
         SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
     ), a0 AS (
         SELECT DISTINCT u AS node FROM adj
@@ -1158,19 +1164,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 def q132(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import materialize_once
 
-    items = (
-        load(spark, sf, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    )
+    edges = copurchase_edges(spark, sf)
     # lazy materialization: the fixed-round peel has NO mid-loop action, so
     # eager per-round checkpoints would just pay 7 construction-time job
     # floors; eager=False still truncates lineage (no 2^rounds subtree

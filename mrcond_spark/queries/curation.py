@@ -234,8 +234,8 @@ GATE_Q = 0.25
     WITH feat AS (
         SELECT doc_id, lang,
                CAST(n_chars AS DOUBLE)
-                 / len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                   t -> t != '')) AS score
+                 / NULLIF(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                          t -> t != '')), 0) AS score
         FROM documents
     ), thr AS (
         SELECT lang, quantile_disc(score, {GATE_Q}) AS thr FROM feat GROUP BY lang
@@ -263,12 +263,14 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import text as text_ops
 
     d = load(spark, sf, "documents")
+    tc = text_ops.token_count(F.col("text"))
+    # empty/whitespace-only docs (0 tokens) get a NULL score and fall out of
+    # the >= gate — a bare division would raise DIVIDE_BY_ZERO under ANSI
+    # while the oracle's NULLIF silently dropped the row (divergence+crash)
     feat = d.select(
         "doc_id",
         "lang",
-        (
-            F.col("n_chars").cast("double") / text_ops.token_count(F.col("text"))
-        ).alias("score"),
+        F.when(tc > 0, F.col("n_chars").cast("double") / tc).alias("score"),
     )
     thr = feat.groupBy("lang").agg(
         F.expr(f"percentile_disc({GATE_Q}) WITHIN GROUP (ORDER BY score)").alias("thr")

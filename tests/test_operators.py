@@ -780,3 +780,37 @@ def test_resize_images_poison_blob_tagged(spark):
     out = multimodal.resize_images(assets).collect()
     assert len(out) == 1
     assert out[0]["data"] is None and out[0]["resize_error"]
+
+
+def test_exact_dedup_keep_best_null_score_loses(spark):
+    """A NULL-scored duplicate must LOSE to any scored copy (review finding:
+    the bare negated struct key made NULL sort first and win); an all-NULL
+    group falls back to min id."""
+    from mrcond_spark.operators.dedup import exact_dedup_keep_best
+
+    rows = [
+        (1, "same text", 0.9),
+        (2, "same text", None),
+        (3, "same text", 0.1),
+        (10, "other text", None),
+        (11, "other text", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    kept = {r["doc_id"] for r in exact_dedup_keep_best(df, "score").collect()}
+    assert kept == {1, 10}
+
+
+def test_moment_stats_single_row_key_yields_nan_sd(spark):
+    """A single-row key must produce sd = NaN (the documented 'no
+    standardization possible' signal), not an ANSI DIVIDE_BY_ZERO that
+    kills the whole training job (review finding)."""
+    import math
+
+    from mrcond_spark.operators.stats import moment_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 4.0)], "k string, value double"
+    )
+    out = {r["k"]: r for r in moment_stats(df, ["k"]).collect()}
+    assert math.isnan(out["a"]["sd"]) and out["a"]["n"] == 1
+    assert out["b"]["sd"] > 0
