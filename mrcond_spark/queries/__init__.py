@@ -73,14 +73,15 @@ def register(
 #: analytics tier q106–q116 (queries/analytics.py), the curation tier
 #: q117–q122 + q124 (queries/curation.py, analytics.py), and the retrieval
 #: tier q123/q125–q128 (queries/search.py, analytics.py) — are
-#: builder-oracle-green and form the round-6 rotation pool (now q106–q135,
-#: 30 candidates for the ~17 rotating slots; prefer the operator-bearing
+#: builder-oracle-green and form the round-6 rotation pool (now q106–q137,
+#: 32 candidates for the ~17 rotating slots; prefer the operator-bearing
 #: ones first: q123 setsim, q127 covariance, q132 k-core, q133 CUSUM,
-#: q118 DSIR, q119 Bloom, q112 PageRank). BENCH-LINE BUDGET: at 129
-#: registered queries the worst-case compact summary line is 1853 of the
-#: driver's ~1900-char tail budget
-#: (test_bench_summary_line_fits_driver_tail_window) — re-compact the
-#: bench line BEFORE registering more than ~132 queries.
+#: q118 DSIR, q119 Bloom, q112 PageRank). BENCH-LINE BUDGET: the
+#: worst-case compact summary line is guarded by
+#: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
+#: worst case — a single query near 100 s is a broken round regardless);
+#: at 129 registered queries the line sits ~1716/1900, leaving ~18
+#: queries of headroom before a re-compaction is needed.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

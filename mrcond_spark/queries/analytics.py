@@ -1340,3 +1340,147 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# --------------------------------------------------------------------------
+# referential + arithmetic integrity audit (q134's profile tells you what a
+# table LOOKS like; this tells you whether two tables AGREE)
+# --------------------------------------------------------------------------
+@register(
+    "q136_integrity_audit",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS recomputed
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lineitems,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NOT NULL
+                          AND ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.recomputed) > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_price_mismatch,
+           CAST(MAX(CASE WHEN li.l_orderkey IS NOT NULL
+                         THEN ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.recomputed)
+                    END) AS DOUBLE) AS max_abs_diff
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY 1 ORDER BY order_month
+    """,
+    doc="cross-table integrity audit per order month: orphan orders (no "
+    "lineitems — referential integrity) and orders whose stored total "
+    "disagrees with the decimal-exact recomputation from their lineitems "
+    "(arithmetic invariant, |diff| > 0.01) — the reconciliation a "
+    "pipeline runs after every load, q134's single-table profile's "
+    "cross-table sibling. ONE lineitem aggregate pre-shuffled on the "
+    "join key feeds a LEFT join on orderkey (both sides co-partitioned "
+    "— no second exchange under AQE), then an order-month rollup. All "
+    "comparisons are exact DECIMAL; only the display max casts to "
+    "double. On this synthetic corpus the invariant is violated "
+    "everywhere — the audit REPORTS, it does not assume",
+    tags=("B5", "B11", "B23"),
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    li = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("recomputed")
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    diff = F.abs(F.col("o_totalprice").cast("decimal(18,2)") - F.col("recomputed"))
+    has_li = F.col("l_orderkey").isNotNull()
+    return (
+        j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(~has_li, 1).otherwise(0)).cast("bigint").alias("n_no_lineitems"),
+            F.sum(F.when(has_li & (diff > 0.01), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_price_mismatch"),
+            F.max(F.when(has_li, diff)).cast("double").alias("max_abs_diff"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# time-to-convert distribution (q94 funnel counts WHO converts; this
+# measures HOW LONG conversion takes, per signup cohort)
+# --------------------------------------------------------------------------
+@register(
+    "q137_conversion_lag",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+        GROUP BY e.user_id
+    ), base AS (
+        SELECT su.user_id,
+               CAST(strftime(make_timestamp(su.s_us), '%Y-%m') AS VARCHAR) AS cohort,
+               pu.p_us - su.s_us AS lag_us
+        FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(lag_us) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS p50_lag_us,
+           CAST(quantile_disc(lag_us, 0.9) AS BIGINT) AS p90_lag_us
+    FROM base GROUP BY cohort ORDER BY cohort
+    """,
+    doc="time-to-convert distribution per signup cohort: each user's first "
+    "signup, their first purchase AT OR AFTER it, and the exact "
+    "integer-microsecond lag — aggregated to cohort-month conversion "
+    "counts and p50/p90 lags (percentile_disc on exact integers: a DATA "
+    "value, no interpolation, no float). q94 counts the funnel; this "
+    "measures its latency — the pair every growth dashboard ships. "
+    "Three user-keyed aggregates share one co-partitioned shuffle "
+    "lineage; the cohort rollup is |months| groups. Non-signup "
+    "purchasers are excluded by construction (no cohort to attribute "
+    "the lag to)",
+    tags=("B11", "B23", "B16"),
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    us = F.unix_micros("ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("e_us"))
+        .join(su, "user_id")
+        .filter(F.col("e_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("p_us"))
+    )
+    base = su.join(pu, "user_id", "left").select(
+        F.date_format(F.timestamp_micros("s_us"), "yyyy-MM").alias("cohort"),
+        (F.col("p_us") - F.col("s_us")).alias("lag_us"),
+    )
+    return (
+        base.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_signups"),
+            F.count("lag_us").cast("bigint").alias("n_converted"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+            .cast("bigint")
+            .alias("p50_lag_us"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+            .cast("bigint")
+            .alias("p90_lag_us"),
+        )
+        .orderBy("cohort")
+    )

@@ -105,17 +105,19 @@ def test_bench_summary_line_fits_driver_tail_window():
     and json-parses the final line (rounds 1-2 lost their BENCH artifact to
     truncation). Reconstruct the worst-case compact summary line for the
     CURRENT corpus — bare query numbers as keys, 1-decimal worst-case values
-    (a query >= 10 s prints 1 decimal; the corpus bench budget caps any
-    single query far below 1000 s), compact separators — PLUS eight phantom
-    future queries, and assert it stays under budget: the next round must be
-    able to add queries without re-compacting first (round-4's line sat 34
+    (a query >= 10 s prints 1 decimal; the whole-corpus bench has run
+    60-110 s total across five rounds, so a SINGLE query approaching 100 s
+    would be a broken round regardless of line length — 99.9 is the honest
+    per-query worst case), compact separators — PLUS eight phantom future
+    queries, and assert it stays under budget: the next round must be able
+    to add queries without re-compacting first (round-4's line sat 34
     chars from the cliff and round-5's additions went over)."""
     import json
 
-    compact = {n.split("_", 1)[0].lstrip("q"): 999.9 for n in QUERIES}
+    compact = {n.split("_", 1)[0].lstrip("q"): 99.9 for n in QUERIES}
     assert len(compact) == len(QUERIES), "query-number keys must stay unique"
     for i in range(8):  # phantom headroom for future rounds
-        compact[str(900 + i)] = 999.9
+        compact[str(900 + i)] = 99.9
     line = json.dumps(
         {
             "metric": "declared_corpus_wall_clock",
