@@ -144,7 +144,7 @@ PRIORITY: tuple[str, ...] = (
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import analytics, assembly, batch, curation, llm, search, udf_surface  # noqa: F401
+    from . import analytics, assembly, batch, curation, frontier, llm, search, udf_surface  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:

@@ -128,6 +128,8 @@ _NONEQUI_OK = {
     "q118_importance_weights",  # 1-row (raw,target) totals broadcast-crossed into the 64-bucket table
     "q125_bm25_topk",  # 1-row (N, avgdl) corpus scalars broadcast-crossed into idf + scoring
     "q127_embedding_covariance",  # 1-row vector-count scalar broadcast-crossed into the d^2 cov table
+    "q141_token_kl_drift",  # 1-row (n_en, n_rest, v) totals broadcast-crossed into the vocab table
+    "q143_zorder_layout",  # 1-row min/max bounds broadcast-crossed into the bucketizer
 }
 
 
