@@ -121,3 +121,80 @@ def prefix_setsim_join(
             ).alias("jaccard"),
         )
     )
+
+
+def prefix_containment_join(
+    sets: DataFrame,
+    id_col: str = "id",
+    set_col: str = "toks",
+    t_num: int = 3,
+    t_den: int = 4,
+) -> DataFrame:
+    """All ORDERED pairs (id_a != id_b) with containment
+    ``|A ∩ B| / |A| >= t_num/t_den`` — the asymmetric complement to
+    :func:`prefix_setsim_join`. Jaccard misses subset relationships (a
+    paragraph quoted inside a much longer document scores a low Jaccard but
+    containment ~1.0); this is the dedup signal for verbatim-inclusion /
+    boilerplate-subsumption in a training corpus.
+
+    Prefix theorem, containment form: C(A->B) >= t requires overlap >=
+    ceil(t*|A|); A's rare-first prefix of length ``|A| - ceil(t*|A|) + 1``
+    leaves a suffix of only ``ceil(t*|A|) - 1`` elements, which cannot hold
+    the whole overlap — so at least one overlap element lands in A's
+    prefix. The PROBE side therefore posts prefix elements only; the INDEX
+    side must post ALL elements (the asymmetry's price — there is no
+    length gate either, since a tiny A may be contained in a huge B).
+    Recall is exactly 1; every gate is integer arithmetic.
+
+    Plan shape / 100 TB: same element-frequency and assembly shuffles as
+    the Jaccard join; the candidate equi-join keys are A-side RARE-first
+    prefix elements, so the index side's hot (boilerplate) elements match
+    almost no probes — the key-skew cap still holds even though the index
+    posts everything. Verify is one exact JVM ``array_intersect`` per
+    deduped candidate pair.
+
+    Returns ``(id_a, id_b, inter, sz_a, sz_b, containment)`` where
+    ``containment = inter / sz_a`` (display only; the gate is integer).
+    """
+    sets = sets.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
+    toks = sets.select("id", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    ranked = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
+    )
+    sz = F.size("ord")
+    plen = sz - F.floor((F.lit(t_num) * sz + t_den - 1) / t_den).cast("int") + 1
+    probe = ranked.select(
+        F.col("id").alias("id_a"),
+        sz.alias("sz_a"),
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])
+        ).alias("tok"),
+    )
+    index = toks.select(F.col("id").alias("id_b"), "tok")
+    cand = (
+        probe.join(index, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "sz_a")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("sz_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.size("toks_b").cast("bigint").alias("sz_b"),
+            F.round(
+                F.col("inter").cast("double") / F.col("sz_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

@@ -369,3 +369,67 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q144 — exact containment join (verbatim-inclusion / subsumption dedup)
+# --------------------------------------------------------------------------
+@register(
+    "q144_containment_join",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(toks) - {SHINGLE_N}, 0) + 1),
+            i -> array_to_string(toks[i+1:i+{SHINGLE_N}], ' ')))) AS g
+        FROM toked
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b,
+           ROUND(CAST(p.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+               AS containment
+    FROM pairs p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE {T_DEN} * p.inter >= {T_NUM} * sa.sz
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT containment self-join at |A∩B|/|A| >= "
+    f"{T_NUM}/{T_DEN} over {SHINGLE_N}-gram shingle sets "
+    "(`operators/setsim.prefix_containment_join`) — the ASYMMETRIC "
+    "complement to q123: Jaccard misses subset relationships (a passage "
+    "quoted inside a much longer document scores low Jaccard but "
+    "containment ~1), and verbatim inclusion is exactly the signal "
+    "training-corpus dedup needs for boilerplate subsumption. Ordered "
+    "pairs, directed gate on the CONTAINED side's size. The oracle goes "
+    "all-shared-gram pairs (fine at sf0.01); the Spark plan posts "
+    "rare-first PREFIX elements on the probe side only (containment form "
+    "of the prefix theorem — recall exactly 1), so the index side's hot "
+    "boilerplate grams match almost no probes. Integer gates throughout",
+    tags=("E2", "B26"),
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+    from ..operators.setsim import prefix_containment_join
+
+    d = load(spark, sf, "documents")
+    # same four-consumer shingle reuse rationale as q123
+    sets = materialize_once(
+        d.select("doc_id", dedup.shingle_udf(SHINGLE_N)(F.col("text")).alias("sh"))
+    )
+    out = prefix_containment_join(
+        sets, id_col="doc_id", set_col="sh", t_num=T_NUM, t_den=T_DEN
+    )
+    return out.orderBy("id_a", "id_b")

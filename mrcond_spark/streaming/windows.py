@@ -20,6 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -311,4 +312,93 @@ def stream_cusum(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("item", StringType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+        StructField("n_bucket", LongType()),
+    ]
+)
+_HH_STATE = StructType(
+    [
+        StructField("sketch", StringType()),  # json {item: residual count}
+        StructField("err", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    k: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """S11/E5: streaming top-item tracking with BOUNDED state — merge-form
+    Misra-Gries (Agarwal et al., "Mergeability of Summaries", PODS'12)
+    carried across micro-batches in the state store.
+
+    Exact streaming counts of a high-cardinality item column need state
+    proportional to |distinct items| — unbounded on a 100 TB/day feed. The
+    MG sketch keeps AT MOST ``k`` counters per state key and still
+    guarantees, per bucket: every item whose true count exceeds the
+    bucket's accumulated ``err`` is PRESENT, and every emitted estimate
+    satisfies ``true - err <= est <= true`` (merge step: fold the batch's
+    exact counts in, then subtract the (k+1)-th largest residual from all
+    and drop non-positives; the subtracted value accumulates into ``err``,
+    which classically stays <= n_bucket/(k+1)).
+
+    Items are hash-partitioned into ``n_buckets`` state keys, so (a) the
+    per-key guarantee applies to DISJOINT item sets (a bucket's heavy
+    items never fight another bucket's traffic for counters), and (b)
+    state updates parallelize across the shuffle — per-key state is the
+    sketch's fixed k counters, never the item universe. Emitted each
+    batch in ``update`` mode: the bucket's surviving candidates with
+    their error bar. Self-contained closure (executor-safe without the
+    package installed).
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import json as _json
+
+        if state.exists:
+            sketch, err, n = state.get
+            counts = {m: int(c) for m, c in _json.loads(sketch).items()}
+        else:
+            counts, err, n = {}, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+        if len(counts) > k:
+            cut = sorted(counts.values(), reverse=True)[k]
+            counts = {m: c - cut for m, c in counts.items() if c - cut > 0}
+            err += cut
+        state.update((_json.dumps(counts), int(err), int(n)))
+        items = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "item": items,
+                "est": [counts[m] for m in items],
+                "err": [err] * len(items),
+                "n_bucket": [n] * len(items),
+            }
+        )
+
+    keyed = events.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

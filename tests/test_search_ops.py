@@ -103,3 +103,42 @@ def test_top_principal_component_matches_eigh(spark):
     if lead[np.argmax(np.abs(lead))] < 0:
         lead = -lead
     assert np.allclose(vec, lead, atol=1e-8)
+
+
+def brute_force_containment(sets: dict[int, set], t_num: int, t_den: int):
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if t_den * inter >= t_num * len(sets[a]):
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (3, 4), (1, 1)])
+def test_containment_matches_brute_force(spark, t_num, t_den):
+    """The containment-form prefix join must return EXACTLY the brute-force
+    directed pair set: recall 1 by the containment prefix theorem (A's
+    suffix is too short to hold the whole overlap), precision 1 from the
+    exact verify. Planted subsets guarantee true pairs at every tier."""
+    from mrcond_spark.operators.setsim import prefix_containment_join
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    sets = {}
+    for i in range(30):
+        base = rng.sample(vocab, rng.randint(1, 12))
+        sets[i] = set(base)
+        if i % 3 == 0 and len(base) > 2:
+            # strict subset: containment(subset -> superset) == 1.0
+            sets[1000 + i] = set(rng.sample(base, len(base) // 2))
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()], "id long, toks array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+        for r in prefix_containment_join(df, "id", "toks", t_num, t_den).collect()
+    }
+    assert got == brute_force_containment(sets, t_num, t_den)

@@ -556,3 +556,66 @@ def test_stream_cusum_matches_batch_recurrence(spark, event_stream_dir):
     got = {(r["user_id"], r["event_id"]) for r in spark.sql("select * from cusum_stream").collect()}
     assert expected, "fixture must produce at least one alarm"
     assert got == expected
+
+
+def test_heavy_hitters_exact_when_under_capacity(spark, event_stream_dir):
+    """S11: with fewer distinct items than k counters the MG sketch never
+    evicts — estimates are EXACT and the error bar is zero."""
+    df = windows.stream_heavy_hitters(
+        replay_events(spark, event_stream_dir), item_col="event_type", k=8
+    )
+    run_to_memory(spark, df, "hh_exact", "update")
+    got = {
+        r["item"]: (r["est"], r["err"])
+        for r in spark.sql(
+            # update mode re-emits per batch; one batch here, but keep the
+            # latest-row discipline anyway
+            "SELECT item, est, err FROM hh_exact"
+        ).collect()
+    }
+    exact = {}
+    for _, _, et, _ in EVENT_ROWS:
+        exact[et] = exact.get(et, 0) + 1
+    assert got == {item: (n, 0) for item, n in exact.items()}
+
+
+def test_heavy_hitters_bounds_over_capacity(spark, tmp_path):
+    """S11: skewed stream with more distinct items than counters, replayed
+    as TWO micro-batches so state merges across batches. The MG guarantees
+    must hold: every item with true count > err survives, and every
+    estimate sits in [true - err, true]."""
+    d = str(tmp_path / "hh-json")
+    os.makedirs(d, exist_ok=True)
+    # skew: 'a' x 30, 'b' x 14, then a long tail of singletons
+    batch1 = ["a"] * 20 + ["b"] * 6 + [f"t{i}" for i in range(8)]
+    batch2 = ["a"] * 10 + ["b"] * 8 + [f"u{i}" for i in range(8)]
+    for bi, items in enumerate((batch1, batch2)):
+        with open(os.path.join(d, f"part{bi}.json"), "w") as f:
+            for it in items:
+                f.write(json.dumps({"item_id": it}) + "\n")
+    stream = (
+        spark.readStream.schema("item_id STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    df = windows.stream_heavy_hitters(stream, item_col="item_id", k=3, n_buckets=1)
+    run_to_memory(spark, df, "hh_bound", "update")
+    rows = spark.sql("SELECT item, est, err, n_bucket FROM hh_bound").collect()
+    # keep only the final state (n_bucket == total stream length)
+    total = len(batch1) + len(batch2)
+    final = {r["item"]: (r["est"], r["err"]) for r in rows if r["n_bucket"] == total}
+    assert final, "no final-batch emission"
+    exact = {}
+    for it in batch1 + batch2:
+        exact[it] = exact.get(it, 0) + 1
+    err = next(iter(final.values()))[1]
+    assert 0 < err <= total // (3 + 1)  # classic MG bound n/(k+1)
+    for item, true in exact.items():
+        if true > err:
+            assert item in final, f"heavy item {item} evicted (true={true}, err={err})"
+    for item, (est, e) in final.items():
+        assert true_bounds_ok(exact[item], est, e), (item, exact[item], est, e)
+
+
+def true_bounds_ok(true: int, est: int, err: int) -> bool:
+    return true - err <= est <= true
