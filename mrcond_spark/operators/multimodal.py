@@ -396,3 +396,174 @@ def resize_images(assets: DataFrame, out_w: int = 16, out_h: int = 12) -> DataFr
             )
 
     return assets.filter(F.col("modality") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# audio: REAL WAV/PCM16 decode (pure numpy — RIFF is uncompressed, so the
+# no-media-libs container decodes it natively, same story as netpbm images)
+# --------------------------------------------------------------------------
+def decode_wav_pcm16(data: bytes):
+    """Decode a RIFF/WAVE PCM16 payload to (sample_rate, int16 numpy array).
+
+    Minimal chunk walker: validates RIFF/WAVE magic, reads the ``fmt ``
+    chunk (must be audio_format=1 PCM, 16-bit), locates ``data``. Raises
+    ``DecodeUnavailable`` for anything else (compressed codecs need a
+    media lib this container does not ship — the plumbing around the
+    decode is what must be real at 100 TB: schema, batching, poison
+    safety)."""
+    import struct
+
+    import numpy as np
+
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise DecodeUnavailable(f"not a RIFF/WAVE payload (magic={data[:4]!r})")
+    pos, sr, bits, fmt, n_ch = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+        elif cid == b"data":
+            if fmt is None:
+                raise DecodeUnavailable("data chunk before fmt chunk")
+            if fmt != 1 or bits != 16:
+                raise DecodeUnavailable(
+                    f"only PCM16 decodable natively (fmt={fmt}, bits={bits})"
+                )
+            samples = np.frombuffer(data, np.int16, sz // 2, body)
+            if n_ch and n_ch > 1:  # interleaved -> mono mixdown for features
+                samples = (
+                    samples[: sz // 2 // n_ch * n_ch]
+                    .reshape(-1, n_ch)
+                    .mean(axis=1)
+                    .astype(np.int16)
+                )
+            return sr, samples
+        pos = body + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    raise DecodeUnavailable("no data chunk")
+
+
+def decoded_audio_features(assets: DataFrame) -> DataFrame:
+    """REAL decoded-sample featurization over audio assets via
+    ``mapInPandas``: sample rate, duration, RMS level, zero-crossing rate,
+    peak amplitude — the standard cheap audio-quality gates (silence,
+    clipping, DC junk) a multimodal curation pass runs before any model.
+    Undecodable payloads yield NULL features and an error tag instead of
+    failing the batch (poison-blob rule).
+
+    The decoder is re-declared inside the closure — executors of an
+    unrelated driver process cannot import this package (cloudpickle
+    serializes nested functions by value). 100 TB: one narrow mapInPandas
+    pass, Arrow-batched; blobs stay out-of-row in production (uri +
+    byte-range fetch, same as the image path)."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("rms", FloatType(), True),
+            StructField("zero_crossing_rate", FloatType(), True),
+            StructField("peak", FloatType(), True),
+            StructField("decode_error", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def decode(data):
+            if (
+                not data
+                or len(data) < 12
+                or data[:4] != b"RIFF"
+                or data[8:12] != b"WAVE"
+            ):
+                raise ValueError(f"not a RIFF/WAVE payload (magic={data[:4]!r})")
+            pos, sr, bits, fmt, n_ch = 12, None, None, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                sz = struct.unpack_from("<I", data, pos + 4)[0]
+                body = pos + 8
+                if cid == b"fmt ":
+                    fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
+                    bits = struct.unpack_from("<H", data, body + 14)[0]
+                elif cid == b"data":
+                    if fmt is None:
+                        raise ValueError("data chunk before fmt chunk")
+                    if fmt != 1 or bits != 16:
+                        raise ValueError(f"only PCM16 (fmt={fmt}, bits={bits})")
+                    samples = np.frombuffer(data, np.int16, sz // 2, body)
+                    if n_ch and n_ch > 1:
+                        samples = (
+                            samples[: sz // 2 // n_ch * n_ch]
+                            .reshape(-1, n_ch)
+                            .mean(axis=1)
+                            .astype(np.int16)
+                        )
+                    return sr, samples
+                pos = body + sz + (sz & 1)
+            raise ValueError("no data chunk")
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rec = {"asset_id": r["asset_id"]}
+                try:
+                    sr, s = decode(r["data"])
+                    x = s.astype(np.float64) / 32768.0
+                    rec.update(
+                        sample_rate=int(sr),
+                        n_samples=int(len(s)),
+                        duration_ms=int(len(s) * 1000 // sr) if sr else None,
+                        rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                        zero_crossing_rate=float(
+                            np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                        )
+                        if len(x) > 1
+                        else 0.0,
+                        peak=float(np.max(np.abs(x))) if len(x) else 0.0,
+                        decode_error=None,
+                    )
+                except Exception as e:  # noqa: BLE001 — poison-blob rule
+                    rec.update(
+                        sample_rate=None,
+                        n_samples=None,
+                        duration_ms=None,
+                        rms=None,
+                        zero_crossing_rate=None,
+                        peak=None,
+                        decode_error=str(e)[:120],
+                    )
+                rows.append(rec)
+            yield _pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "data")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def make_wav_pcm16(sr: int, samples) -> bytes:
+    """Encode an int16 sample array as a minimal mono RIFF/WAVE payload —
+    the test-fixture/round-trip counterpart of ``decode_wav_pcm16``."""
+    import struct
+
+    import numpy as np
+
+    body = np.asarray(samples, np.int16).tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(body))
+    )
+    return hdr + body

@@ -814,3 +814,61 @@ def test_moment_stats_single_row_key_yields_nan_sd(spark):
     out = {r["k"]: r for r in moment_stats(df, ["k"]).collect()}
     assert math.isnan(out["a"]["sd"]) and out["a"]["n"] == 1
     assert out["b"]["sd"] > 0
+
+
+def test_decode_wav_pcm16_round_trip():
+    """E6 audio: a synthetic PCM16 WAV decodes back to the exact samples
+    and sample rate (pure-numpy RIFF walker, no media libs)."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 440 * t / sr) * 12000).astype(np.int16)
+    got_sr, got = multimodal.decode_wav_pcm16(multimodal.make_wav_pcm16(sr, sine))
+    assert got_sr == sr
+    assert np.array_equal(got, sine)
+
+
+def test_decode_wav_rejects_non_wav_and_compressed():
+    import struct
+
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_wav_pcm16(b"\x89PNG not audio")
+    # valid RIFF but non-PCM format code (e.g. 85 = MP3-in-WAV)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(multimodal.DecodeUnavailable, match="PCM16"):
+        multimodal.decode_wav_pcm16(hdr)
+
+
+def test_decoded_audio_features_real_decode(spark):
+    """E6 audio featurization over mapInPandas: loud sine vs silence vs a
+    poison blob — RMS/ZCR/peak computed from REAL decoded samples; the
+    poison row error-tags instead of failing the stage."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    sine = (np.sin(2 * np.pi * 100 * t / sr) * 16384).astype(np.int16)
+    silence = np.zeros(sr // 2, np.int16)
+    rows = [
+        (1, "audio", None, bytearray(multimodal.make_wav_pcm16(sr, sine)), "audio/wav", None),
+        (2, "audio", None, bytearray(multimodal.make_wav_pcm16(sr, silence)), "audio/wav", None),
+        (3, "audio", None, bytearray(b"JUNKJUNKJUNK"), "audio/wav", None),
+        (4, "image", None, bytearray(b"P6 ignored"), "image/x-portable-pixmap", None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.decoded_audio_features(assets).collect()}
+    assert set(got) == {1, 2, 3}  # image row filtered out, not decoded
+    s1 = got[1]
+    assert s1["sample_rate"] == sr and s1["n_samples"] == sr
+    assert s1["duration_ms"] == 1000
+    # 100 Hz sine crosses zero 2x per cycle: ZCR ~= 200/8000
+    assert s1["zero_crossing_rate"] == pytest.approx(200 / sr, rel=0.05)
+    assert s1["rms"] == pytest.approx(16384 / 32768 / np.sqrt(2), rel=0.01)
+    assert s1["peak"] == pytest.approx(16384 / 32768, rel=0.01)
+    assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
+    assert got[3]["decode_error"] and got[3]["rms"] is None
