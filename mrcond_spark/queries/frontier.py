@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.frontier import skyline_2d
+from ..operators.sampling import U_DEN, aes_key
 from ..operators.text import tokens
 from . import register
 
@@ -168,8 +169,8 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 #: sample size
 SAMPLE_K = 100
-#: 2^60 + 1 — divisor mapping the 60-bit md5 prefix to u in (0, 1)
-_U_DEN = float(2**60 + 1)
+#: shared with the streaming reservoir mirror (operators/sampling.py)
+_U_DEN = U_DEN
 
 
 @register(
@@ -206,10 +207,7 @@ _U_DEN = float(2**60 + 1)
 )
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    hk = F.md5(F.concat(F.lit("seed140:"), F.col("doc_id").cast("string")))
-    h = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long")
-    u = (h + F.lit(1)) / F.lit(_U_DEN)
-    k = F.log(u) / F.col("n_chars")
+    k = aes_key(F.col("doc_id"), F.col("n_chars"), "seed140")
     keyed = d.select("doc_id", "n_chars", k.alias("k"))
     top = keyed.orderBy(F.col("k").desc(), "doc_id").limit(SAMPLE_K)
     return (

@@ -402,3 +402,90 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("item_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("sel_key", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_RES_STATE = StructType(
+    [StructField("sketch", StringType()), StructField("n", LongType())]
+)
+
+
+def stream_weighted_sample(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    seed: str = "seed140",
+    k: int = 100,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """S11/B31: streaming mirror of the q140 deterministic weighted sample —
+    an A-ES reservoir carried across micro-batches.
+
+    The A-ES selection key (``operators/sampling.aes_key``: ``ln(u)/w``
+    with a seeded-md5 ``u``) is computed JVM-side per row BEFORE the
+    stateful op; per hash bucket the state keeps only the current top-k
+    (id, weight, key) triples. Top-k-by-key is a mergeable summary, so the
+    final reservoir equals the batch query's selection over the SAME rows
+    regardless of how the stream was micro-batched — the reproducible-
+    sample contract survives the move to streaming (asserted against the
+    static computation in tests). Consumer takes the global top-k of the
+    B*k emitted candidates. Bounded state: B buckets x k triples, never
+    the item universe. Self-contained closure (executor-safe without the
+    package installed).
+    """
+    from ..operators.sampling import aes_key
+
+    keyed = stream.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bucket"),
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        aes_key(F.col(id_col), F.col(weight_col), seed).alias("sel_key"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import json as _json
+
+        if state.exists:
+            sketch, n = state.get
+            entries = [tuple(e) for e in _json.loads(sketch)]
+        else:
+            entries, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            entries.extend(
+                zip(
+                    (int(v) for v in pdf["item_id"]),
+                    (int(v) for v in pdf["weight"]),
+                    (float(v) for v in pdf["sel_key"]),
+                )
+            )
+        # same order as the batch query: key DESC, id ASC; json round-trips
+        # the float key exactly (repr-precision), so resorting is stable
+        entries.sort(key=lambda e: (-e[2], e[0]))
+        entries = entries[:k]
+        state.update((_json.dumps(entries), int(n)))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(entries),
+                "item_id": [e[0] for e in entries],
+                "weight": [e[1] for e in entries],
+                "sel_key": [e[2] for e in entries],
+                "n_seen": [n] * len(entries),
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=RESERVOIR_SCHEMA,
+        stateStructType=_RES_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

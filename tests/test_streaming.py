@@ -619,3 +619,54 @@ def test_heavy_hitters_bounds_over_capacity(spark, tmp_path):
 
 def true_bounds_ok(true: int, est: int, err: int) -> bool:
     return true - err <= est <= true
+
+
+def test_stream_weighted_sample_matches_batch_selection(spark, tmp_path):
+    """S11/B31: the streaming A-ES reservoir must select EXACTLY the rows
+    the batch q140-style computation selects over the same input, however
+    the stream was micro-batched — the reproducible-sample contract."""
+    from pyspark.sql import functions as F
+
+    from mrcond_spark.operators.sampling import aes_key
+
+    d = str(tmp_path / "docs-json")
+    os.makedirs(d, exist_ok=True)
+    rows = [{"doc_id": i, "n_chars": 50 + (i * 37) % 200} for i in range(60)]
+    with open(os.path.join(d, "part0.json"), "w") as f:
+        for r in rows[:25]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(d, "part1.json"), "w") as f:
+        for r in rows[25:]:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id BIGINT, n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(d)
+    )
+    df = windows.stream_weighted_sample(stream, k=5, n_buckets=2)
+    run_to_memory(spark, df, "res", "update")
+    emitted = spark.sql("SELECT * FROM res").collect()
+    # final reservoir per bucket = rows from that bucket's last emission
+    final_n = {}
+    for r in emitted:
+        final_n[r["bucket"]] = max(final_n.get(r["bucket"], 0), r["n_seen"])
+    candidates = [
+        (r["item_id"], r["sel_key"])
+        for r in emitted
+        if r["n_seen"] == final_n[r["bucket"]]
+    ]
+    candidates.sort(key=lambda e: (-e[1], e[0]))
+    got = [item for item, _ in candidates[:5]]
+
+    static = spark.read.schema(schema).json(d)
+    expect = [
+        r["doc_id"]
+        for r in static.select(
+            "doc_id",
+            aes_key(F.col("doc_id"), F.col("n_chars"), "seed140").alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    ]
+    assert got == expect
