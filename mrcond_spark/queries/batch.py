@@ -1103,9 +1103,12 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
     one = F.lit(1).cast(DEC4)
+    # fact-first: lineitem is the probe side of every join (declared
+    # dims-first, Spark's small-SF estimates broadcast the fact scan — see
+    # q146's note; test_plans.py asserts the shape for both queries)
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
@@ -1995,4 +1998,137 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
         .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q146 — TPC-H Q5: the canonical 6-table join-reordering stress
+# --------------------------------------------------------------------------
+@register(
+    "q146_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,18))) AS DOUBLE), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 (local-supplier volume): the canonical join-order stress "
+    "— six tables, a region filter that must PRUNE through "
+    "region->nation->supplier/customer before the fact join, and the "
+    "c_nationkey = s_nationkey 'local supplier' condition that correlates "
+    "two dimension paths. Declared relationally and left to Catalyst: the "
+    "date filter pushes into the orders scan, region/nation broadcast, "
+    "and the lineitem join keys drive the only big shuffles. Revenue = "
+    "extendedprice*(1-discount) per row (deterministic double product) "
+    "summed through DECIMAL(38,18) — order-independent, so the hash "
+    "matches the oracle exactly. 100 TB: the classic plan — two fact-"
+    "sized hash shuffles (orders⋈lineitem key), everything else broadcast",
+    tags=("B3", "B4", "B11"),
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    # fact-first join order: lineitem is ALWAYS the probe/stream side.
+    # (Declared the other way round — dims first — Spark's size estimates
+    # at small SF put a BroadcastExchange on the 600k-row lineitem scan:
+    # measured 5.2 s at sf0.1 and a plan that cannot exist at 100 TB.
+    # Fact-first keeps every join building on the dimension side: 1.0 s,
+    # and tests/test_plans.py asserts no broadcast ever sits on the
+    # lineitem scan.)
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(rev.cast("decimal(38,18)")).cast("double"), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — RANGE-interval window frame: 7-day trailing aggregate per user
+# --------------------------------------------------------------------------
+@register(
+    "q147_trailing_window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE),
+                 4) AS sum_7d
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_us
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts_us, event_id
+    """,
+    doc="B16's VALUE-RANGE frame (every other window in the corpus uses "
+    "ROWS or unbounded frames): per-user trailing 7-day event count and "
+    "value sum — 'activity in the last week as of each event'. The frame "
+    "bound is 604,800,000,000 integer MICROSECONDS over epoch-micros, not "
+    "an INTERVAL literal: identical integer range arithmetic in both "
+    "engines, no calendar/interval-type semantics to diverge, and ties on "
+    "ts land in the same frame deterministically. The windowed double sum "
+    "runs through DECIMAL(38,18) (frame sums accumulate in within-"
+    "partition order — exact decimal addition is order-independent). "
+    "100 TB: one hash shuffle on user_id; frames never cross users, so "
+    "the window parallelizes per key — no single-reducer shape",
+    tags=("B16", "B23"),
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604_800_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.count("*").over(w).cast("bigint").alias("n_7d"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,18)")).over(w).cast("double"),
+                4,
+            ).alias("sum_7d"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
     )

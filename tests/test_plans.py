@@ -235,3 +235,27 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     import re
 
     assert re.search(r"hashpartitioning\(event_type\S*, __salt", text), text[:400]
+
+
+def test_tpch_q5_fact_side_never_broadcast(spark, sf_dir):
+    """TPC-H Q5 regression guard (q64 AND q146): the lineitem fact table
+    must never be a broadcast build side. Both queries were originally
+    declared dims-first and Spark's small-SF size estimates DID broadcast
+    the whole fact scan — a plan that cannot exist at 100 TB (measured
+    5.2 s vs 1.0 s at sf0.1 for q146); the fact-first declaration keeps
+    every build side a dimension. In the formatted plan, a broadcast of
+    lineitem would show a BroadcastExchange node whose Input carries
+    lineitem-only columns."""
+    import re
+
+    for name in ("q64_tpch_q5_shape", "q146_tpch_q5"):
+        text = plans.explain_str(QUERIES[name].spark(spark, sf_dir))
+        for m in re.finditer(
+            r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", text
+        ):
+            cols = m.group(1)
+            assert "l_extendedprice" not in cols and "l_orderkey" not in cols, (
+                f"{name}: lineitem columns inside a BroadcastExchange build "
+                f"side: {cols}"
+            )
+        assert "BroadcastHashJoin" in text  # the dims do broadcast
