@@ -71,18 +71,20 @@ def register(
 #: After round 5 every oracle-bearing query registered through round 4 has
 #: a driver verdict on record; the round-5 post-bench additions — the
 #: analytics tier q106–q116 (queries/analytics.py), the curation tier
-#: q117–q122 + q124 (queries/curation.py, analytics.py), and the retrieval
+#: q117–q122 + q124 (queries/curation.py, analytics.py), the retrieval
 #: tier q123/q125–q128 (queries/search.py, analytics.py), and the
-#: frontier/drift/layout tier q138–q145 (queries/frontier.py, search.py)
-#: — are builder-oracle-green and form the round-6 rotation pool (now
-#: q106–q145, 40 candidates for the ~17 rotating slots; prefer the
+#: frontier/drift/layout tier q138–q149 (queries/frontier.py, search.py,
+#: batch.py) — are builder-oracle-green (q149 rows-only by design) and
+#: form the round-6 rotation pool (now q106–q149, 43 oracle-bearing
+#: candidates for the ~17 rotating slots; prefer the
 #: operator-bearing ones first: q123 setsim, q144 containment, q138
 #: skyline, q127 covariance, q132 k-core, q133 CUSUM, q118 DSIR, q119
-#: Bloom, q112 PageRank, q140 A-ES sample). BENCH-LINE BUDGET: the
+#: Bloom, q112 PageRank, q140 A-ES sample, q148 MERGE upsert).
+#: BENCH-LINE BUDGET: the
 #: worst-case compact summary line is guarded by
 #: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
 #: worst case — a single query near 100 s is a broken round regardless);
-#: at 129 registered queries the line sits ~1716/1900, leaving ~18
+#: at 143 registered queries the line sits 1776/1900, leaving ~12
 #: queries of headroom before a re-compaction is needed.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)

@@ -2132,3 +2132,116 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — MERGE-style CDC upsert compaction (snapshot + change batch -> snapshot)
+# --------------------------------------------------------------------------
+@register(
+    "q148_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS k, 'U' AS op,
+               o_totalprice + 100.0 AS new_price, o_orderstatus AS new_status
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 != 0
+        UNION ALL
+        SELECT o_orderkey + 1099511627776, 'I', 1000.0, 'N'
+        FROM orders WHERE o_orderkey % 23 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, c.k) AS o_orderkey,
+           COALESCE(c.new_status, o.o_orderstatus) AS status,
+           COALESCE(c.new_price, o.o_totalprice) AS totalprice,
+           COALESCE(c.op, '=') AS applied_op
+    FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op != 'D'
+    ORDER BY o_orderkey
+    """,
+    doc="MERGE INTO semantics as a declarative plan: apply a CDC change "
+    "batch (updates, deletes, inserts — the reference connector's event "
+    "stream, compacted) to a snapshot and emit the next snapshot. One "
+    "FULL OUTER join on the key + coalesce per column + a delete filter — "
+    "exactly what Delta/Iceberg MERGE plans under the hood. The change "
+    "batch here is derived deterministically from the snapshot itself "
+    "(key-modulus classes, disjoint by construction: delete excludes "
+    "update keys, insert keys are tagged with a 2^40 bit the natural key "
+    "space cannot reach — the q-planting convention), so the oracle is "
+    "exact: update arithmetic is one double add, everything else is "
+    "stored-value passthrough. Complements q68 (latest-per-key event "
+    "compaction) and q129 (SCD2 history): this is the SNAPSHOT writer. "
+    "100 TB: one co-partitioned full-outer shuffle on the key; store the "
+    "snapshot bucketed by key (sources/batch.write_table bucketBy) and "
+    "the snapshot side of the MERGE never shuffles at all "
+    "(test_bucketed_join_skips_shuffle pins that layout)",
+    tags=("B5", "B25"),
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 100.0).alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    dele = o.filter((F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 10 != 0)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("string").alias("new_status"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        (F.col("o_orderkey") + F.lit(1099511627776)).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1000.0).alias("new_price"),
+        F.lit("N").alias("new_status"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = o.join(changes, o.o_orderkey == changes.k, "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("k")).alias("o_orderkey"),
+            F.coalesce(F.col("new_status"), F.col("o_orderstatus")).alias("status"),
+            F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias("totalprice"),
+            F.coalesce(F.col("op"), F.lit("=")).alias("applied_op"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q149 — HLL sketch-partial rollup (mergeable aggregates, the 100 TB pattern)
+# --------------------------------------------------------------------------
+@register(
+    "q149_hll_rollup",
+    oracle=None,  # sketch estimates are engine-specific; ±5% pytest instead
+    doc="the mergeable-aggregate pattern that makes distinct counting "
+    "feasible at 100 TB: build an HLL sketch of user_id per (event_type, "
+    "day) — the granularity you'd persist in a metrics store — then "
+    "answer the per-type TOTAL distinct-user question by UNIONING the "
+    "stored sketches (hll_union_agg), never rescanning the raw events. "
+    "Apache DataSketches HLL via Spark 3.5+ built-ins; one shuffle to "
+    "build partials, a |days x types|-sized second pass to merge. "
+    "Rows-only driver check by design (sketch binaries are "
+    "engine-specific); tests/test_operators.py bounds the union-merged "
+    "estimate within ±5%% of the exact distinct count and pins "
+    "merge-consistency (merged estimate == whole-table sketch estimate)",
+    tags=("B30", "B11"),
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -872,3 +872,34 @@ def test_decoded_audio_features_real_decode(spark):
     assert s1["peak"] == pytest.approx(16384 / 32768, rel=0.01)
     assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
     assert got[3]["decode_error"] and got[3]["rms"] is None
+
+
+def test_hll_rollup_bounds_and_merge_consistency(spark, sf_dir):
+    """q149: the union-merged per-type estimate must sit within ±5% of the
+    exact distinct-user count, and merging the per-day sketches must give
+    EXACTLY the estimate a whole-table sketch gives (HLL union is lossless
+    over sketches built at the same lgK)."""
+    from mrcond_spark.catalog import load
+    from mrcond_spark.queries import all_queries
+
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in all_queries()["q149_hll_rollup"].spark(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= 0.05 * exact[t], (t, est, exact[t])
+    whole = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("e"))
+        .collect()
+    }
+    assert got == whole  # merge-consistency: partials union == one pass
