@@ -76,11 +76,25 @@ def prefix_setsim_join(
     prefix = ranked.select(
         "id",
         sz.alias("sz"),
-        F.explode(F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])).alias(
-            "tok"
-        ),
-    )
+        F.posexplode(F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])),
+    ).select("id", "sz", F.col("pos").alias("p"), F.col("col").alias("tok"))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap requirement for J >= n/d:  d*o >= n*(a+b-o)  =>
+    # o >= ceil(n*(a+b) / (n+d)) — integer arithmetic only.
+    alpha = F.floor(
+        (F.lit(t_num) * (F.col("a.sz") + F.col("b.sz")) + t_num + t_den - 1)
+        / (t_num + t_den)
+    ).cast("int")
+    # PPJoin positional filter: both arrays share one global (frequency,
+    # element) order, so for a pair's FIRST common element there are no
+    # common elements before it and overlap <= 1 + min(remaining either
+    # side). Every qualifying pair survives via that row (it sits in both
+    # prefixes by the prefix theorem), so recall stays exactly 1; rows
+    # failing the gate are redundant candidates from later common elements.
+    pos_ok = (
+        1 + F.least(F.col("a.sz") - 1 - F.col("a.p"), F.col("b.sz") - 1 - F.col("b.p"))
+        >= alpha
+    )
     cand = (
         a.join(
             b,
@@ -90,7 +104,8 @@ def prefix_setsim_join(
             & (
                 F.lit(t_den) * F.least("a.sz", "b.sz")
                 >= F.lit(t_num) * F.greatest("a.sz", "b.sz")
-            ),
+            )
+            & pos_ok,
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -169,14 +184,30 @@ def prefix_containment_join(
     probe = ranked.select(
         F.col("id").alias("id_a"),
         sz.alias("sz_a"),
-        F.explode(
-            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])
-        ).alias("tok"),
-    )
-    index = toks.select(F.col("id").alias("id_b"), "tok")
+        F.posexplode(F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])),
+    ).select("id_a", "sz_a", F.col("pos").alias("pa"), F.col("col").alias("tok"))
+    index = ranked.select(
+        F.col("id").alias("id_b"),
+        sz.alias("sz_b"),
+        F.posexplode(F.transform("ord", lambda s: s["tok"])),
+    ).select("id_b", "sz_b", F.col("pos").alias("pb"), F.col("col").alias("tok"))
+    # PPJoin positional filter, containment form: both arrays share one
+    # global (frequency, element) order, so for a pair's FIRST common
+    # element (which the prefix theorem puts in A's prefix) there are no
+    # common elements before it, hence overlap <= 1 + min(remaining_a,
+    # remaining_b). A valid pair always survives via that row — rows
+    # failing the gate are redundant, so recall stays exactly 1. Measured
+    # at sf0.1: 391k -> 235k candidate pairs; hot (boilerplate) elements
+    # sort LAST on the index side, so this prunes precisely the hot-key
+    # join rows the skew cap cares about.
+    need = F.floor((F.lit(t_num) * F.col("sz_a") + t_den - 1) / t_den).cast("int")
+    pos_ok = 1 + F.least(
+        F.col("sz_a") - 1 - F.col("pa"), F.col("sz_b") - 1 - F.col("pb")
+    ) >= need
     cand = (
         probe.join(index, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
+        .filter(pos_ok)
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
