@@ -2245,3 +2245,101 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — interval union / gaps-and-islands (activity coverage per user)
+# --------------------------------------------------------------------------
+#: each event opens a 5-minute activity interval
+_ISLAND_WIDTH_US = 300_000_000
+
+
+@register(
+    "q150_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_ISLAND_WIDTH_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               MIN(s) AS island_s, MAX(e) AS island_e
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(MAX(island_e - island_s) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="interval union (the gaps-and-islands problem): each event opens a "
+    "5-minute activity interval; overlapping intervals merge into islands "
+    "and the query reports per-user island count, total covered time, and "
+    "longest unbroken stretch — the session-coverage number engagement "
+    "and rate-limiting analyses need, and the classic pattern behind "
+    "interval-overlap compaction. A row starts a new island iff its start "
+    "exceeds the running MAX of all earlier interval ENDS (not simply the "
+    "previous row's end — an earlier long interval can swallow several "
+    "later ones); island ids are the running sum of those flags. All in "
+    "exact integer micros — no float, no calendar arithmetic. 100 TB: "
+    "ONE hash shuffle on user_id, reused by both windows (same partition "
+    "spec) and the aggregate; islands never cross users, so every stage "
+    "parallelizes per key",
+    tags=("B16", "B23", "B11"),
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _ISLAND_WIDTH_US).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    span = F.col("island_e") - F.col("island_s")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(span).cast("bigint").alias("covered_us"),
+            F.max(span).cast("bigint").alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
