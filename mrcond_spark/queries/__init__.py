@@ -73,9 +73,9 @@ def register(
 #: analytics tier q106–q116 (queries/analytics.py), the curation tier
 #: q117–q122 + q124 (queries/curation.py, analytics.py), the retrieval
 #: tier q123/q125–q128 (queries/search.py, analytics.py), and the
-#: frontier/drift/layout tier q138–q150 (queries/frontier.py, search.py,
+#: frontier/drift/layout tier q138–q151 (queries/frontier.py, search.py,
 #: batch.py) — are builder-oracle-green (q149 rows-only by design) and
-#: form the round-6 rotation pool (now q106–q150, 44 oracle-bearing
+#: form the round-6 rotation pool (now q106–q151, 45 oracle-bearing
 #: candidates for the ~17 rotating slots; prefer the
 #: operator-bearing ones first: q123 setsim, q144 containment, q138
 #: skyline, q127 covariance, q132 k-core, q133 CUSUM, q118 DSIR, q119
@@ -84,7 +84,7 @@ def register(
 #: worst-case compact summary line is guarded by
 #: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
 #: worst case — a single query near 100 s is a broken round regardless);
-#: at 144 registered queries the line sits ~1786/1900, leaving ~11
+#: at 145 registered queries the line sits ~1796/1900, leaving ~10
 #: queries of headroom before a re-compaction is needed.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)

@@ -2343,3 +2343,74 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — exact weighted median per group (weight-aware robust center)
+# --------------------------------------------------------------------------
+@register(
+    "q151_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, v, wt,
+               SUM(wt) OVER (
+                   PARTITION BY l_returnflag ORDER BY v, wt
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cw >= tw THEN v END) AS weighted_median
+    FROM cum
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact weighted median: the smallest value whose running weight "
+    "reaches half the group's total — quantity-weighted price per return "
+    "flag ('the price at which half the shipped VOLUME is cheaper', which "
+    "an unweighted median misstates whenever quantity correlates with "
+    "price). One pass: a per-group running weight sum plus the group "
+    "total from the SAME window partition (one user-key shuffle reused by "
+    "both windows and the aggregate), then MIN over the qualifying "
+    "values. The decision gate is 2*cw >= tw on exact BIGINT weights — "
+    "no float threshold — and the selected value is a stored double "
+    "(passthrough). Ties on value are totally ordered by (v, wt); "
+    "duplicates merge into the running sum either way, so the selected "
+    "value is unique. 100 TB: same plan family as every per-key window — "
+    "no single-reducer shape, groups parallelize per key",
+    tags=("B11", "B16", "B24"),
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(w_run).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "weighted_median"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
