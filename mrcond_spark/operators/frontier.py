@@ -52,6 +52,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: driver-side offset-table cap — one row per bucket is "bounded metadata"
+#: only while the bucket function is a coarse split of the cost domain
+MAX_BUCKETS = 100_000
+
 
 def skyline_2d(
     df: DataFrame,
@@ -79,6 +83,16 @@ def skyline_2d(
             f"skyline_2d: bucket expression over {cost_col!r} produced NULL; "
             "a NULL cost/bucket has no defined position in the frontier "
             "order — filter it first"
+        )
+    # The bounded-collect contract: one row per bucket. A near-distinct
+    # bucket expression would silently turn this into a data-sized driver
+    # collect and a plan-bloating literal map — reject it loudly instead.
+    if len(totals) > MAX_BUCKETS:
+        raise ValueError(
+            f"skyline_2d: bucket expression produced {len(totals)} buckets "
+            f"(cap {MAX_BUCKETS}); coarsen the bucket function — it must "
+            "be a bounded, order-aligned split of the cost domain, not a "
+            "near-distinct key"
         )
     # strictly-before-this-bucket running max, folded driver-side (bounded:
     # one row per bucket) into plan literals

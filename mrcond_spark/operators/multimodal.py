@@ -407,10 +407,12 @@ def decode_wav_pcm16(data: bytes):
 
     Minimal chunk walker: validates RIFF/WAVE magic, reads the ``fmt ``
     chunk (must be audio_format=1 PCM, 16-bit), locates ``data``. Raises
-    ``DecodeUnavailable`` for anything else (compressed codecs need a
-    media lib this container does not ship — the plumbing around the
-    decode is what must be real at 100 TB: schema, batching, poison
-    safety)."""
+    ``DecodeUnavailable`` for anything else — including declared chunk
+    sizes that overrun the buffer (a truncated fmt/data chunk must not
+    leak struct.error/ValueError past the documented contract) —
+    (compressed codecs need a media lib this container does not ship —
+    the plumbing around the decode is what must be real at 100 TB:
+    schema, batching, poison safety)."""
     import struct
 
     import numpy as np
@@ -421,7 +423,14 @@ def decode_wav_pcm16(data: bytes):
     while pos + 8 <= len(data):
         cid, sz = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = pos + 8
+        if body + sz > len(data):
+            raise DecodeUnavailable(
+                f"truncated chunk {cid!r}: declares {sz} bytes, "
+                f"{len(data) - body} remain"
+            )
         if cid == b"fmt ":
+            if sz < 16:
+                raise DecodeUnavailable(f"fmt chunk too short ({sz} bytes)")
             fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
         elif cid == b"data":

@@ -2375,15 +2375,26 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     "reaches half the group's total — quantity-weighted price per return "
     "flag ('the price at which half the shipped VOLUME is cheaper', which "
     "an unweighted median misstates whenever quantity correlates with "
-    "price). One pass: a per-group running weight sum plus the group "
-    "total from the SAME window partition (one user-key shuffle reused by "
-    "both windows and the aggregate), then MIN over the qualifying "
-    "values. The decision gate is 2*cw >= tw on exact BIGINT weights — "
-    "no float threshold — and the selected value is a stored double "
-    "(passthrough). Ties on value are totally ordered by (v, wt); "
-    "duplicates merge into the running sum either way, so the selected "
-    "value is unique. 100 TB: same plan family as every per-key window — "
-    "no single-reducer shape, groups parallelize per key",
+    "price). The return-flag key has cardinality 3, so a naive "
+    "PARTITION BY flag window is three corpus/3-row single tasks — the "
+    "low-cardinality cousin of the single-reducer window this repo "
+    "eliminated in ntile.py/prefix_sum.py. Instead the running weight is "
+    "computed with a TWO-LEVEL banded window, fully lazy: (1) band = "
+    "floor(v/step), order-aligned with v by construction, so the global "
+    "per-flag order (v, wt) equals (band, v, wt); (2) within-band running "
+    "sums window on (flag, band) — parallelism = flags x bands; (3) band "
+    "offsets and the flag total come from a (flag, band) aggregate — a "
+    "|flags x bands|-row frame whose per-flag window touches only "
+    "metadata-sized input — broadcast-joined back. cw = band offset + "
+    "within-band running sum, exactly the single-window value. The "
+    "decision gate is 2*cw >= tw on exact BIGINT weights — no float "
+    "threshold — and the selected value is a stored double (passthrough). "
+    "Ties on value are totally ordered by (v, wt); duplicates merge into "
+    "the running sum either way, so the selected value is unique. 100 TB: "
+    "one (flag, band) shuffle reused by the window and the band "
+    "aggregate; no window partition whose key cardinality is O(1) in "
+    "corpus size; band step is the parallelism knob (domain-ranged "
+    "values; for unknown domains derive bands from approx quantiles)",
     tags=("B11", "B16", "B24"),
 )
 def q151(spark: SparkSession, sf: str) -> DataFrame:
@@ -2392,17 +2403,38 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
-    w_run = (
-        Window.partitionBy("l_returnflag")
+    # Order-aligned value band: floor is monotonic in v, so ordering by
+    # (band, v, wt) == ordering by (v, wt) within each flag. TPC-H extended
+    # price spans ~[900, 105000] => ~26 bands of width 4096.
+    li = li.withColumn("band", F.floor(F.col("v") / F.lit(4096.0)).cast("int"))
+    w_in = (
+        Window.partitionBy("l_returnflag", "band")
         .orderBy("v", "wt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
+    banded = li.select(
+        "l_returnflag", "band", "v", F.sum("wt").over(w_in).alias("cw_in")
+    )
+    band_tot = li.groupBy("l_returnflag", "band").agg(F.sum("wt").alias("bt"))
+    # |flags x bands| rows only — the per-flag windows below are over
+    # metadata-sized input, not the corpus.
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    offs = band_tot.select(
+        "l_returnflag",
+        "band",
+        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("bt").over(w_flag).alias("tw"),
+    )
+    cum = banded.join(F.broadcast(offs), ["l_returnflag", "band"]).select(
         "l_returnflag",
         "v",
-        F.sum("wt").over(w_run).alias("cw"),
-        F.sum("wt").over(w_all).alias("tw"),
+        (F.col("off") + F.col("cw_in")).alias("cw"),
+        "tw",
     )
     return (
         cum.groupBy("l_returnflag")

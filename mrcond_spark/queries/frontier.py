@@ -605,44 +605,20 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     "same 3-split local scan — the residual is scan-split-bound, which a "
     "real multi-file table parallelizes away). 100 TB: two scans with "
     "|groups|-bounded state; at "
-    "petabyte group sizes swap approx_percentile in (q32's sketch "
-    "pattern) and keep the identical downstream plan",
+    "petabyte group sizes swap exact=False in (approx_percentile's "
+    "mergeable GK sketch — a CODED, tolerance-tested variant of the same "
+    "operator, operators/stats.py robust_stats; the declared oracle query "
+    "stays exact) and keep the identical downstream plan",
     tags=("B11", "B24"),
 )
 def q145(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.stats import robust_stats
+
     li = load(spark, sf, "lineitem").select(
         "l_returnflag",
         F.year("l_shipdate").cast("int").alias("ship_year"),
         "l_extendedprice",
     )
-    q = li.groupBy("l_returnflag", "ship_year").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.expr(
-            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p05"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p95"),
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("med"),
-    )
-    j = li.join(F.broadcast(q), ["l_returnflag", "ship_year"])
-    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_extendedprice")))
-    return (
-        j.groupBy("l_returnflag", "ship_year", "n", "p05", "p95", "med")
-        .agg(
-            F.round(
-                F.sum(clipped.cast("decimal(38,18)")).cast("double") / F.count("*"),
-                4,
-            ).alias("win_mean"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP "
-                "(ORDER BY abs(l_extendedprice - med))"
-            ).alias("mad"),
-        )
-        .select(
-            "l_returnflag", "ship_year", "n", "p05", "p95", "med", "win_mean", "mad"
-        )
-        .orderBy("l_returnflag", "ship_year")
+    return robust_stats(
+        li, ["l_returnflag", "ship_year"], "l_extendedprice", exact=True
     )

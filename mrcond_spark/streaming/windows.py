@@ -360,7 +360,10 @@ def stream_heavy_hitters(
     sketch's fixed k counters, never the item universe. Emitted each
     batch in ``update`` mode: the bucket's surviving candidates with
     their error bar. Self-contained closure (executor-safe without the
-    package installed).
+    package installed). NULL items are dropped BEFORE the stateful op:
+    pandas ``value_counts`` never tracks NaN/None, so counting them into
+    ``n`` would inflate the err-bound denominator with rows the sketch
+    never saw — the per-bucket MG guarantee refers to counted items only.
     """
 
     def update(key, pdfs, state: GroupState):
@@ -391,7 +394,7 @@ def stream_heavy_hitters(
             }
         )
 
-    keyed = events.select(
+    keyed = events.filter(F.col(item_col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).alias("bucket"),
         F.col(item_col).cast("string").alias("item"),
     )

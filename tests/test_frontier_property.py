@@ -59,6 +59,23 @@ def test_skyline_rejects_null_cost_bucket(spark_global):
         skyline_2d(df, "cost", "gain", F.floor(F.col("cost") / 4).cast("int"))
 
 
+def test_skyline_rejects_unbounded_bucket_expression(spark_global, monkeypatch):
+    """A near-distinct bucket expression would turn the bounded offset
+    collect into a data-sized one — the cap rejects it loudly."""
+    from pyspark.sql import functions as F
+
+    from mrcond_spark.operators import frontier
+    from mrcond_spark.operators.frontier import skyline_2d
+
+    monkeypatch.setattr(frontier, "MAX_BUCKETS", 10)
+    df = spark_global.range(50).select(
+        F.col("id").cast("int").alias("cost"),
+        (F.lit(100) - F.col("id")).cast("int").alias("gain"),
+    )
+    with pytest.raises(ValueError, match="buckets"):
+        skyline_2d(df, "cost", "gain", F.col("cost"))  # identity: 50 buckets
+
+
 def test_skyline_keeps_exact_duplicates(spark_global):
     """Equal (cost, gain) pairs do not dominate each other — both stay."""
     from pyspark.sql import functions as F

@@ -844,6 +844,32 @@ def test_decode_wav_rejects_non_wav_and_compressed():
         multimodal.decode_wav_pcm16(hdr)
 
 
+def test_decode_wav_truncated_chunks_stay_in_contract():
+    """Chunk sizes that overrun the buffer must raise DecodeUnavailable,
+    not leak struct.error/ValueError (the standalone-helper contract)."""
+    import struct
+
+    import numpy as np
+
+    good = multimodal.make_wav_pcm16(8000, np.arange(16, dtype=np.int16))
+    # truncated fmt chunk: declared 16 bytes but the payload ends early
+    cut_fmt = good[:20] + good[20:24]  # RIFF..WAVE + 'fmt ' + size only
+    with pytest.raises(multimodal.DecodeUnavailable, match="truncated|short"):
+        multimodal.decode_wav_pcm16(cut_fmt)
+    # data chunk declaring more bytes than remain
+    lying = bytearray(good)
+    data_pos = good.index(b"data")
+    struct.pack_into("<I", lying, data_pos + 4, 1 << 20)
+    with pytest.raises(multimodal.DecodeUnavailable, match="truncated"):
+        multimodal.decode_wav_pcm16(bytes(lying))
+    # fmt chunk declaring fewer than the 16 required bytes
+    short_fmt = bytearray(good)
+    fmt_pos = good.index(b"fmt ")
+    struct.pack_into("<I", short_fmt, fmt_pos + 4, 8)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal.decode_wav_pcm16(bytes(short_fmt))
+
+
 def test_decoded_audio_features_real_decode(spark):
     """E6 audio featurization over mapInPandas: loud sine vs silence vs a
     poison blob — RMS/ZCR/peak computed from REAL decoded samples; the

@@ -1,0 +1,83 @@
+"""robust_stats: the approx (GK-sketch) path must track the exact path.
+
+The declared q145 oracle rides the exact route; this suite proves the
+production ``exact=False`` route (the 100 TB path — bounded mergeable
+sketch state instead of per-group value buffers) is a faithful
+substitute: identical schema, and every figure within the documented
+rank-error bound of the exact answer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mrcond_spark.catalog import load
+from mrcond_spark.operators.stats import robust_stats
+
+
+def _by_group(rows):
+    return {(r["l_returnflag"], r["ship_year"]): r for r in rows}
+
+
+def test_approx_matches_exact_at_high_accuracy(spark, sf_dir):
+    # rank error <= 1/accuracy; with accuracy >> max group size the
+    # sketch holds every value exactly -> bit-identical output.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+    )
+    exact = robust_stats(
+        li, ["l_returnflag", "ship_year"], "l_extendedprice", exact=True
+    ).collect()
+    approx = robust_stats(
+        li,
+        ["l_returnflag", "ship_year"],
+        "l_extendedprice",
+        exact=False,
+        accuracy=1_000_000,
+    ).collect()
+    assert [r.asDict() for r in exact] == [r.asDict() for r in approx]
+
+
+def test_approx_within_rank_error_at_low_accuracy(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+    )
+    cols = ["l_returnflag", "ship_year"]
+    exact = _by_group(robust_stats(li, cols, "l_extendedprice", exact=True).collect())
+    approx = _by_group(
+        robust_stats(li, cols, "l_extendedprice", exact=False, accuracy=100).collect()
+    )
+    assert exact.keys() == approx.keys()
+    # Per-group value spread as the scale for the quantile tolerance: a
+    # rank error of eps=1/100 moves a selected quantile by at most the
+    # local value density around that rank; bound it loosely by a fraction
+    # of the group's (p95 - p05) spread. win_mean shifts only through the
+    # perturbed clip points (<= eps mass clipped differently), so it is
+    # bounded much tighter.
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"]
+        spread = max(e["p95"] - e["p05"], 1e-9)
+        for col in ("p05", "p95", "med"):
+            assert abs(a[col] - e[col]) <= 0.15 * spread, (k, col, a[col], e[col])
+        assert math.isfinite(a["win_mean"])
+        assert abs(a["win_mean"] - e["win_mean"]) <= 0.05 * spread, k
+        assert abs(a["mad"] - e["mad"]) <= 0.15 * spread, k
+
+
+def test_approx_schema_matches_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+    )
+    cols = ["l_returnflag", "ship_year"]
+    e = robust_stats(li, cols, "l_extendedprice", exact=True)
+    a = robust_stats(li, cols, "l_extendedprice", exact=False, accuracy=100)
+    assert e.schema == a.schema
