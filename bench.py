@@ -329,10 +329,14 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "cpus": CPUS,
-                "cdc_events_per_sec": cdc_eps,
-                "windowed_stream_events_per_sec": win_eps,
-                "session_window_events_per_sec": sess_eps,
-                "stream_join_events_per_sec": ssj_eps,
+                # round-6 re-compaction: the streaming keys shed ~70 chars
+                # (evps = events/sec; cdc=CDC pipeline, win=windowed agg,
+                # sess=session windows, ssj=stream-stream join — same four
+                # figures as the *_events_per_sec keys of BENCH_r01-r05)
+                "cdc_evps": cdc_eps,
+                "win_evps": win_eps,
+                "sess_evps": sess_eps,
+                "ssj_evps": ssj_eps,
                 "n_errors": len(errors),
                 # LAST on purpose: round artifacts keep only the tail of this
                 # line, and this is the one-number round-over-round compare

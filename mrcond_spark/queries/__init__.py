@@ -54,32 +54,29 @@ def register(
 #: own oracle suite (tests/test_oracle.py) still checks every query.
 #:
 #: ROTATION (round-3 judge directive): ~33 operator representatives stay
-#: fixed; the remaining slots rotate each round through queries that have
-#: never received a driver hash verdict. Round 5 rotates IN seventeen:
-#: the thirteen oracle-bearing queries that had never been driver-checked
-#: after round 4 (q80 q86 q89 q93 q94 q95 + the round-4 additions q96 q97
-#: q98 q99 q100 q101 q102), the three NEW round-5 queries giving the
-#: newest operators declared oracles (q103 keep-best dedup, q104
-#: repeat-factor upsampling, q105 n-gram novelty), and q13 (cube +
-#: GROUPING()/grouping_id columns — SURVEY B13 cites GROUPING() explicitly;
-#: q12, the previous B13 representative, does not carry them). Rotated OUT
-#: seventeen, every one with a green driver verdict on record (r1–r4) and
-#: every affected operator keeping an in-window representative: the twelve
-#: round-4 slots (q57 q60 q61 q81 q82 q85 q87 q88 q90 q56 q62 q75 — all
-#: first-time green in CORRECTNESS_r04) plus q12 (B13 -> q13), q16 (B16 ->
-#: q97), q22 (B23 -> q94/q95/q102), q24 (B25 -> q80), q25 (B26 -> q104).
-#: After round 5 every oracle-bearing query registered through round 4 has
-#: a driver verdict on record; the round-5 post-bench additions — the
-#: analytics tier q106–q116 (queries/analytics.py), the curation tier
-#: q117–q122 + q124 (queries/curation.py, analytics.py), the retrieval
-#: tier q123/q125–q128 (queries/search.py, analytics.py), and the
-#: frontier/drift/layout tier q138–q151 (queries/frontier.py, search.py,
-#: batch.py) — are builder-oracle-green (q149 rows-only by design) and
-#: form the round-6 rotation pool (now q106–q151, 45 oracle-bearing
-#: candidates for the ~17 rotating slots; prefer the
-#: operator-bearing ones first: q123 setsim, q144 containment, q138
-#: skyline, q127 covariance, q132 k-core, q133 CUSUM, q118 DSIR, q119
-#: Bloom, q112 PageRank, q140 A-ES sample, q148 MERGE upsert).
+#: fixed; the remaining slots rotate each round through queries that lack
+#: a GREEN driver hash verdict. Verdict ledger after round 5
+#: (CORRECTNESS_r01..r05): every oracle-bearing query registered through
+#: round 4 has a driver verdict on record, but for SEVEN of them the only
+#: verdict on record is a round-1 FAIL — q59 q63 q64 q65 q66 q71 q77,
+#: all red in CORRECTNESS_r01 from the systemic DECIMAL-rendering bug,
+#: fixed since (guarded by test_no_decimal_output_in_oracle_queries) and
+#: builder-green, but never re-attested by the driver. Round 6 rotates IN
+#: seventeen, reds first (round-5 judge directive): the seven
+#: red-on-record queries above, then the ten highest-value round-5
+#: operators still builder-attested only — q123 setsim join, q144
+#: containment join, q127 embedding covariance, q132 k-core, q112
+#: PageRank, q118 DSIR weights, q119 Bloom prejoin, q140 A-ES weighted
+#: sample, q148 MERGE upsert, q151 weighted median (3-key window fixed
+#: this round). Rotated OUT seventeen, every one with a green driver
+#: verdict in CORRECTNESS_r05 and every affected operator keeping an
+#: in-window representative: the sixteen round-5 slots (q80 q86 q89 q93
+#: q94 q95 q96 q97 q98 q99 q100 q101 q102 q103 q104 q105) plus
+#: q48_simhash_pairs (E2 keeps THREE in-window reps: q47 q123 q144).
+#: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
+#: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
+#: q128–q131, q133–q139, q141–q143, q145–q147, q150 — ~29 queries,
+#: roughly two more rounds at ~17 slots.
 #: BENCH-LINE BUDGET: the
 #: worst-case compact summary line is guarded by
 #: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
@@ -121,28 +118,30 @@ PRIORITY: tuple[str, ...] = (
     "q40_exact_dedup",        # E1
     "q41_cosine_topk",        # E3
     "q43_pandas_udf_hist",    # E7
-    "q47_minhash_lsh_pairs",  # E2
-    "q48_simhash_pairs",      # E2
+    "q47_minhash_lsh_pairs",  # E2 (q48 simhash rotated out r6; green r5)
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-5 rotation slots: first-ever driver verdicts for these sixteen
-    "q80_null_group_keys",    # B11/B25 (also the window's B25 representative)
-    "q86_tfidf_terms",        # E5
-    "q89_repetition_stats",   # E5
-    "q93_mixture_rebalance",  # E5/B31
-    "q94_event_funnel",       # B11/B23
-    "q95_cohort_retention",   # B11/B23
-    "q96_training_shards",    # E5 deterministic shard shuffle
-    "q97_token_budget_cut",   # E5/B16 distributed prefix sum
-    "q98_vocab_growth",       # E5 Heaps-law audit
-    "q99_semantic_dedup",     # E2/E4 SemDeDup (planted-removal oracle)
-    "q100_incremental_dedup",  # E1 new-batch vs reference anti join
-    "q101_salted_aggregate",  # B11 skew-salted two-phase agg
-    "q102_time_bars",         # B11/B23 OHLC min_by/max_by bars
-    "q103_keep_best_dedup",   # E1 quality-aware keep-best (new this round)
-    "q104_repeat_upsample",   # E5/B26 repeat-factor upsampling (new this round)
-    "q105_ngram_novelty",     # E5 n-gram novelty metric (new this round)
+    # round-6 rotation slots: the seven red-on-record queries first (their
+    # only driver verdict is a round-1 FAIL; fixed since, re-attest them)
+    "q59_time_rollup",        # B13/B23
+    "q63_batch_sessionize",   # B15/B16/B23
+    "q64_tpch_q5_shape",      # B4/B11 fact-first join order
+    "q65_pivot",              # B11/B25
+    "q66_unpivot",            # B11/B25
+    "q71_range_frame",        # B16/B23
+    "q77_ntile_deciles",      # B15 distributed NTILE
+    # ...then first-ever driver verdicts for the round-5 flagship operators
+    "q123_setsim_join",       # E2/B26 exact AllPairs/PPJoin set-similarity
+    "q144_containment_join",  # E2/B26 exact containment (prefix-probe)
+    "q127_embedding_covariance",  # E3/E4/B26/B11 exact DECIMAL co-moments
+    "q132_kcore",             # B4/B11/E5 fixed-round k-core peel
+    "q112_nation_pagerank",   # B4/B11/E5 DECIMAL-exact PageRank rounds
+    "q118_importance_weights",  # E5/B31 DSIR importance weights
+    "q119_bloom_prejoin",     # B3/B4 Bloom pre-join pruning
+    "q140_weighted_sample",   # B31/E5/B18 deterministic A-ES sample
+    "q148_merge_upsert",      # B5/B25 MERGE-style CDC upsert
+    "q151_weighted_median",   # B11/B16/B24 banded two-level window (fixed r6)
 )
 
 

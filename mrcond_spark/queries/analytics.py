@@ -754,7 +754,11 @@ def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     "single digits), the support HAVING runs as a partial-agged hash "
     "aggregate, and the triangle joins run on the PRUNED edge list "
     "shuffled by vertex — the degree-heavy vertices are exactly what the "
-    "support threshold caps. The pruned edge list is materialized once (localCheckpoint) because three join branches consume it — EAGER at construction, same snapshot contract as q97/q119. All equi-joins; no cartesian anywhere",
+    "support threshold caps. The pruned edge list is materialized once "
+    "(lazy localCheckpoint, eager=False: lineage truncates but the job "
+    "runs inside the first action, so construction stays job-free — "
+    "unlike the EAGER builders q77/q97/q119/q138) because three join "
+    "branches consume it. All equi-joins; no cartesian anywhere",
     tags=("B4", "B11", "E5"),
 )
 def q120(spark: SparkSession, sf: str) -> DataFrame:

@@ -131,7 +131,8 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     "single-reducer shape never appears in the Spark plan (explicit "
     "Exchange-SinglePartition assertion in tests/test_prefix_sum_property.py; "
     "the unpartitioned-Window guard in tests/test_plans.py covers every "
-    "query)",
+    "query). EAGER BUILDER: the per-bucket totals job runs at "
+    "construction time and snapshots into plan literals (PLANS.md)",
     tags=("E5", "B16"),
 )
 def q97(spark: SparkSession, sf: str) -> DataFrame:

@@ -1525,7 +1525,9 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     "custkey tiebreak) + per-bucket stats. Uses operators/ntile.py's "
     "distributed exact NTILE (range repartition + per-partition rank + "
     "P-row offset collect) — bit-identical to the oracle's NTILE window "
-    "with NO single-partition sort anywhere in the plan",
+    "with NO single-partition sort anywhere in the plan. EAGER BUILDER: "
+    "the cutpoint-sketch and offset jobs run at construction time and "
+    "snapshot into plan literals (PLANS.md)",
     tags=("B15",),
 )
 def q77(spark: SparkSession, sf: str) -> DataFrame:

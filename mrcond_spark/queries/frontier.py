@@ -65,7 +65,9 @@ from . import register
     "single-reducer MAX OVER (ORDER BY cost)), and one equi-join back. "
     "All dominance gates compare stored values — no float arithmetic, no "
     "cross-engine boundary ambiguity. 100 TB: every data-sized stage is "
-    "hash-distributed; the driver sees one row per bucket",
+    "hash-distributed; the driver sees one row per bucket. EAGER "
+    "BUILDER: the bucket-maxima job runs at construction time and "
+    "snapshots into plan literals (PLANS.md)",
     tags=("B11", "B16"),
 )
 def q138(spark: SparkSession, sf: str) -> DataFrame:
