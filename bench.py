@@ -327,17 +327,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": compact,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "cpus": CPUS,
-                # round-6 re-compaction: the streaming keys shed ~70 chars
-                # (evps = events/sec; cdc=CDC pipeline, win=windowed agg,
+                # round-6 re-compaction (~100 chars): n = n_queries; the
+                # run's cpu count lives in the driver wrapper already;
+                # evps = events/sec (cdc=CDC pipeline, win=windowed agg,
                 # sess=session windows, ssj=stream-stream join — same four
-                # figures as the *_events_per_sec keys of BENCH_r01-r05)
+                # figures as the *_events_per_sec keys of BENCH_r01-r05);
+                # errs = n_errors.
+                "n": len(timings),
                 "cdc_evps": cdc_eps,
                 "win_evps": win_eps,
                 "sess_evps": sess_eps,
                 "ssj_evps": ssj_eps,
-                "n_errors": len(errors),
+                "errs": len(errors),
                 # LAST on purpose: round artifacts keep only the tail of this
                 # line, and this is the one-number round-over-round compare
                 "total_wall_s": total,

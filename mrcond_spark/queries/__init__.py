@@ -75,8 +75,10 @@ def register(
 #: q48_simhash_pairs (E2 keeps THREE in-window reps: q47 q123 q144).
 #: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
 #: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
-#: q128–q131, q133–q139, q141–q143, q145–q147, q150 — ~29 queries,
-#: roughly two more rounds at ~17 slots.
+#: q128–q131, q133–q139, q141–q143, q145–q147, q150, and the round-6
+#: governance tier q152–q158 — ~36 queries, roughly two more rounds at
+#: ~17 slots (prefer q145 robust stats, q153 leakage, q154 integrity,
+#: q157 profiler first).
 #: BENCH-LINE BUDGET: the
 #: worst-case compact summary line is guarded by
 #: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
@@ -147,7 +149,7 @@ PRIORITY: tuple[str, ...] = (
 
 def all_queries() -> dict[str, Query]:
     # import for side effect of registration
-    from . import analytics, assembly, batch, curation, frontier, llm, search, udf_surface  # noqa: F401
+    from . import analytics, assembly, batch, curation, frontier, governance, llm, search, udf_surface  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in REGISTRY]
     if missing:

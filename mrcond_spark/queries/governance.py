@@ -1,0 +1,512 @@
+"""Data-governance tier (round-6 additions, q152+): the split / audit /
+profiling operations a training-data platform runs BEFORE a corpus is
+allowed near a model — deterministic train/val/test assignment,
+cross-split near-duplicate leakage audit, referential-integrity checks,
+annotation majority-vote aggregation, BPE-style pair statistics, column
+profiling, and mixture-epoch accounting.
+
+All deterministic (seeded md5 splits, no ``rand()``), every query carries
+a full DuckDB hash oracle, and every plan keeps the corpus posture: hash
+aggregates with map-side partials, broadcast dims, no single-reducer
+windows, no data-sized collects.
+
+Reference parity note: f-squirrel/mrcond is a CDC connector with no batch
+surface (SURVEY §1); this module is part of the mandated LLM-pipeline
+extension surface (SURVEY §2.4 E1–E7), same as queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..operators import text
+from . import register
+from .llm import PLANT_OFFSET, plant_duplicates
+
+#: train/val/test split percentages (out of 100 hash buckets). The split is
+#: a pure function of doc_id — reproducible across engines, retries, and
+#: corpus growth (a doc's split never changes when other docs arrive).
+SPLIT_SEED = "seed152"
+TRAIN_PCT, VAL_PCT = 90, 5
+
+#: q158 training-run token budget (absolute, like q97's TOKEN_BUDGET) and
+#: the mixture temperature exponent (0.5 = sqrt-scaled sampling, the
+#: common multilingual-mixture compromise between natural and uniform).
+EPOCH_BUDGET = 1_000_000
+MIX_ALPHA = 0.5
+
+#: q156 reported top adjacent-pair count.
+TOP_PAIRS = 30
+
+#: the DuckDB expression equivalent of operators/text.tokens() — kept in
+#: lockstep with the Spark side by the shared-oracle hash checks.
+SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+
+
+def split_assignment(id_col: Column) -> Column:
+    """Deterministic split label for an id: md5(seed:id) -> 60-bit int ->
+    bucket 0..99 -> train/val/test by the declared percentages. The same
+    definition serves q152 (assignment) and q153 (leakage audit) — and the
+    oracles restate it in SQL with the same seed string."""
+    hk = F.md5(F.concat(F.lit(f"{SPLIT_SEED}:"), id_col.cast("string")))
+    bucket = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long") % 100
+    return (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _sql_split(id_expr: str) -> str:
+    """The DuckDB restatement of ``split_assignment`` for an id expression."""
+    bucket = (
+        f"CAST(('0x' || substr(md5(concat('{SPLIT_SEED}:', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+# --------------------------------------------------------------------------
+# q152 — deterministic train/val/test split with per-cell accounting
+# --------------------------------------------------------------------------
+@register(
+    "q152_train_val_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_sql_split('doc_id')} AS split, source,
+               len({SQL_TOKENS}) AS n_tokens, n_chars
+        FROM documents
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, source
+    ORDER BY split, source
+    """,
+    doc="deterministic {TRAIN/VAL/TEST} split assignment + per-(split, "
+    "source) accounting: split = seeded 60-bit md5 bucket of doc_id "
+    "(90/5/5) — a pure function of the id, so the assignment is "
+    "reproducible across engines and STABLE under corpus growth (a new "
+    "batch never reshuffles old docs across splits, the property that "
+    "makes eval sets trustworthy over time). One narrow projection (hash "
+    "+ token count, all JVM built-ins) into one (split, source) hash agg "
+    "with map-side partials. 100 TB: the only shuffle carries "
+    "|splits x sources| partial rows; the split column is the same "
+    "expression a partitionBy('split') writer would use",
+    tags=("E5", "B11"),
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select(
+            split_assignment(F.col("doc_id")).alias("split"),
+            "source",
+            text.token_count(F.col("text")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q153 — cross-split near-duplicate leakage audit
+# --------------------------------------------------------------------------
+@register(
+    "q153_split_leakage",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id AS id_a, doc_id + {PLANT_OFFSET} AS id_b
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT id_a, id_b,
+           {_sql_split('id_a')} AS split_a,
+           {_sql_split('id_b')} AS split_b
+    FROM planted
+    WHERE {_sql_split('id_a')} != {_sql_split('id_b')}
+    ORDER BY id_a
+    """,
+    doc="train/eval contamination audit: near-duplicate pairs whose two "
+    "members landed in DIFFERENT q152 splits — the leakage a benchmark "
+    "number silently inherits when an eval doc's near-twin sits in "
+    "training. Candidate pairs come from the banded MinHash-LSH operator "
+    "(same engine as q47); each side joins its split label (a narrow "
+    "hash expression, no extra shuffle) and only cross-split pairs "
+    "survive. Oracle: planted exact duplicates (identical text -> "
+    "identical banded signature -> guaranteed candidate) restated in "
+    "SQL with the same split definition — the planted subset is "
+    "hash-exact while general recall stays pytest-verified. 100 TB: "
+    "identical plan family to q47 (banded self-join, no "
+    "approxSimilarityJoin single-partition trap) plus one narrow "
+    "projection per side",
+    tags=("E2", "E5"),
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0)
+    pairs = dedup.minhash_lsh_pairs(planted).filter(
+        F.col("id_b") == F.col("id_a") + PLANT_OFFSET
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            split_assignment(F.col("id_a")).alias("split_a"),
+            split_assignment(F.col("id_b")).alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .orderBy("id_a")
+    )
+
+
+# --------------------------------------------------------------------------
+# q154 — referential-integrity audit (FK orphan counts)
+# --------------------------------------------------------------------------
+#: (constraint name, child table, child key, parent table, parent key)
+FK_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{name}' AS constraint_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM (SELECT {ck} AS k FROM {child} WHERE {ck} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p ON c.k = p.k"""
+        )
+    return "\nUNION ALL".join(parts) + "\nORDER BY constraint_name"
+
+
+@register(
+    "q154_referential_integrity",
+    oracle=_fk_oracle(),
+    doc="data-quality gate: per-FK-edge orphan counts across the schema "
+    "(child rows whose non-null key has no parent) — the audit a "
+    "pipeline runs before trusting joins, because an orphaned key "
+    "silently drops rows from every inner join downstream. Each edge is "
+    "one left join of the child's key column against the parent's "
+    "(distinct) key with a null-marker count; dimension parents "
+    "broadcast, fact parents hash-join. A constraint with zero "
+    "violations still reports its row — absence of evidence is made "
+    "explicit. 100 TB: per-edge cost is one key-column scan + one join "
+    "keyed on the FK; edges are independent and the six single-row "
+    "aggregates union for free",
+    tags=("B7", "B19"),
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    outs = []
+    for name, child, ck, parent, pk in FK_EDGES:
+        c = (
+            load(spark, sf, child)
+            .select(F.col(ck).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        p = load(spark, sf, parent).select(F.col(pk).alias("k")).distinct()
+        j = c.join(p.withColumn("__hit", F.lit(1)), "k", "left")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("constraint_name"),
+                F.count("*").cast("bigint").alias("n_checked"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("constraint_name")
+
+
+# --------------------------------------------------------------------------
+# q155 — majority-vote label aggregation
+# --------------------------------------------------------------------------
+@register(
+    "q155_majority_vote",
+    oracle="""
+    WITH votes AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, cnt,
+               SUM(cnt) OVER (PARTITION BY user_id) AS total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type
+               ) AS rn
+        FROM votes
+    )
+    SELECT user_id,
+           event_type AS winner,
+           CAST(total AS BIGINT) AS n_votes,
+           CAST(cnt AS BIGINT) AS top_votes,
+           ROUND(CAST(cnt AS DOUBLE) / total, 4) AS agreement
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="annotation consolidation: per item (user_id stands in for the "
+    "item key) the majority label among its votes (event_type), with a "
+    "DETERMINISTIC tie-break (highest count, then lexicographically "
+    "smallest label) and an agreement ratio — the standard reduction "
+    "from N raw annotations to one training label + confidence. Plan: "
+    "one (item, label) hash agg collapses raw votes (map-side partials "
+    "do the heavy lifting), then a window over the collapsed per-item "
+    "label rows (bounded by |labels| per item, partitioned by a "
+    "high-cardinality item key — never a low-cardinality window). "
+    "100 TB: the vote agg is the only data-sized shuffle; the window "
+    "input is |items x labels|",
+    tags=("B11", "B15", "B25"),
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    votes = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    w_tot = Window.partitionBy("user_id")
+    ranked = votes.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w_tot).alias("total"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("winner"),
+            F.col("total").cast("bigint").alias("n_votes"),
+            F.col("cnt").cast("bigint").alias("top_votes"),
+            F.round(F.col("cnt").cast("double") / F.col("total"), 4).alias(
+                "agreement"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q156 — adjacent-pair statistics (one BPE merge-candidate census)
+# --------------------------------------------------------------------------
+@register(
+    "q156_bpe_pair_stats",
+    oracle=f"""
+    WITH toked AS (
+        SELECT {SQL_TOKENS} AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] || ' ' || t[i + 1] AS pair
+        FROM toked, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {TOP_PAIRS}
+    """,
+    doc="corpus-wide adjacent-token-pair counts, top-{N}: exactly the "
+    "statistic one BPE merge round maximizes (the pair a tokenizer "
+    "trainer would merge next), and the distributed form of 'count every "
+    "bigram over 100 TB'. Tokens come from the shared JVM tokenizer; "
+    "pairs are built NARROWLY inside the row via "
+    "transform(sequence(...)) over the token array — no self-join, no "
+    "posexplode-then-shift shuffle — then one explode feeds one hash agg "
+    "with map-side partials, and the global top-N is a TakeOrdered (no "
+    "full sort). Total ORDER BY (cnt DESC, pair) makes the cut "
+    "deterministic. 100 TB: one shuffle carrying |distinct pairs| "
+    "partials; the token arrays never leave their input partition",
+    tags=("E5", "B26", "B18"),
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(text.tokens(F.col("text")).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(TOP_PAIRS)
+    )
+
+
+# --------------------------------------------------------------------------
+# q157 — column profiler (single-pass, long-format)
+# --------------------------------------------------------------------------
+PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def _profiler_oracle() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({c}) AS min_v,
+           MAX({c}) AS max_v,
+           ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT({c}), 4) AS mean_v
+    FROM lineitem"""
+        )
+    return "\nUNION ALL".join(parts) + "\nORDER BY col_name"
+
+
+@register(
+    "q157_column_profiler",
+    oracle=_profiler_oracle(),
+    doc="ANALYZE-style column profile of the fact table, long format: per "
+    "column the row/non-null/exact-distinct counts, min/max, and an "
+    "order-independent DECIMAL-exact mean. ONE pass over the table: all "
+    "per-column aggregates (including the four exact COUNT(DISTINCT)s, "
+    "which Catalyst plans via a single expand) run in one aggregate, "
+    "then the wide result row pivots to long form with an "
+    "explode(array(struct...)) over the 1-row frame — driver-free, "
+    "scan-once, versus the oracle's restated 4-scan UNION. min/max are "
+    "stored-value passthroughs (no float arithmetic). 100 TB: the "
+    "expand multiplies the shuffle by |profiled columns|+1 — the "
+    "documented price of EXACT distinct counts; swap approx_count_"
+    "distinct in (q32's sketch) when estimates suffice",
+    tags=("B11", "B12", "B24", "B26"),
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(38,18)")).cast("double")
+                / F.count(c),
+                4,
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"{c}__nn").alias("n_nonnull"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__mn").alias("min_v"),
+                    F.col(f"{c}__mx").alias("max_v"),
+                    F.col(f"{c}__mean").alias("mean_v"),
+                )
+                for c in PROFILE_COLS
+            ]
+        )
+    ).alias("p")
+    return (
+        wide.select("n_rows", rows)
+        .select(
+            F.col("p.col_name").alias("col_name"),
+            "n_rows",
+            F.col("p.n_nonnull").alias("n_nonnull"),
+            F.col("p.n_distinct").alias("n_distinct"),
+            F.col("p.min_v").alias("min_v"),
+            F.col("p.max_v").alias("max_v"),
+            F.col("p.mean_v").alias("mean_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q158 — mixture-epoch accounting under a token budget
+# --------------------------------------------------------------------------
+@register(
+    "q158_source_epochs",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS total_w FROM per
+    )
+    SELECT source, n_docs, src_tokens,
+           ROUND(sqrt(CAST(src_tokens AS DOUBLE)) / total_w, 6) AS weight,
+           ROUND({EPOCH_BUDGET} * sqrt(CAST(src_tokens AS DOUBLE)) / total_w
+                 / src_tokens, 4) AS epochs
+    FROM per, tot
+    ORDER BY source
+    """,
+    doc="mixture-epoch audit: given the run's token budget and a "
+    "temperature-scaled mixture (weight ~ tokens^0.5, the multilingual "
+    "up-/down-sampling compromise), how many EPOCHS of each source the "
+    "run implies — the number that flags 'this 4% source gets repeated "
+    "11x' before training does it silently. One (source) hash agg for "
+    "per-source token totals; the normalizer is a window over the "
+    "ALREADY-AGGREGATED |sources|-row frame (constant partition key on "
+    "metadata-sized input — NOT the scalar-crossJoin idiom, which would "
+    "re-execute the corpus scan+tokenize lineage for the 1-row total), "
+    "then pure double arithmetic with a fixed op tree + ROUND for "
+    "cross-engine stability. 100 TB: ONE corpus scan, one shuffle "
+    "carrying |sources| partials; everything after is metadata-sized",
+    tags=("E5", "B11", "B24"),
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("src_tokens"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    total_w = F.sum(F.sqrt(F.col("src_tokens").cast("double"))).over(w_all)
+    w = F.sqrt(F.col("src_tokens").cast("double")) / F.col("total_w")
+    return (
+        per.withColumn("total_w", total_w)
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(
+                F.lit(EPOCH_BUDGET) * w / F.col("src_tokens"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
