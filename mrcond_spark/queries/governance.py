@@ -3,7 +3,8 @@ profiling operations a training-data platform runs BEFORE a corpus is
 allowed near a model — deterministic train/val/test assignment,
 cross-split near-duplicate leakage audit, referential-integrity checks,
 annotation majority-vote aggregation, BPE-style pair statistics, column
-profiling, and mixture-epoch accounting.
+profiling, mixture-epoch accounting, and Bradley-Terry preference
+aggregation.
 
 All deterministic (seeded md5 splits, no ``rand()``), every query carries
 a full DuckDB hash oracle, and every plan keeps the corpus posture: hash
@@ -509,4 +510,170 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("epochs"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q159 — Bradley-Terry preference strength (fixed-round MM iteration)
+# --------------------------------------------------------------------------
+BT_ROUNDS = 3
+
+_BT_BASE_SQL = """
+    WITH lp AS (
+        SELECT l_orderkey, l_linenumber, p_brand AS b, l_quantity AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    duels AS (
+        SELECT CASE WHEN a.q > b.q THEN a.b ELSE b.b END AS i,
+               CASE WHEN a.q > b.q THEN b.b ELSE a.b END AS j
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber < b.l_linenumber
+         AND a.b != b.b AND a.q != b.q
+    ),
+    wins AS (SELECT i, j, COUNT(*) AS w FROM duels GROUP BY i, j),
+    wtot AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wi FROM wins GROUP BY i),
+    nmat AS (
+        SELECT i, j, SUM(w) AS n FROM (
+            SELECT i, j, w FROM wins
+            UNION ALL SELECT j AS i, i AS j, w FROM wins
+        ) GROUP BY i, j
+    ),
+    p0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS p FROM nmat)"""
+
+
+def _bt_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT n.i,
+               CAST(COALESCE(ANY_VALUE(w.wi), 0) AS DOUBLE)
+                 / CAST(SUM(CAST(CAST(n.n AS DOUBLE) / (pi.p + pj.p)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS p
+        FROM nmat n
+        JOIN {prev} pi ON n.i = pi.i
+        JOIN {prev} pj ON n.j = pj.i
+        LEFT JOIN wtot w ON n.i = w.i
+        GROUP BY n.i
+    )"""
+
+
+def _bt_oracle() -> str:
+    rounds = ",".join(
+        _bt_round_sql(f"p{r}", f"p{r + 1}") for r in range(BT_ROUNDS)
+    )
+    last = f"p{BT_ROUNDS}"
+    return f"""{_BT_BASE_SQL},{rounds},
+    mats AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_matches FROM nmat GROUP BY i),
+    norm AS (SELECT CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS s
+             FROM {last})
+    SELECT r.i AS brand,
+           CAST(COALESCE(w.wi, 0) AS BIGINT) AS n_wins,
+           m.n_matches,
+           ROUND(r.p / norm.s, 6) AS strength
+    FROM {last} r
+    JOIN mats m ON r.i = m.i
+    LEFT JOIN wtot w ON r.i = w.i, norm
+    ORDER BY brand
+    """
+
+
+@register(
+    "q159_bradley_terry",
+    oracle=_bt_oracle(),
+    doc="Bradley-Terry preference strength from pairwise duels — the "
+    "model behind preference-data reward aggregation ('from N pairwise "
+    "comparisons, a per-item strength'). Duels: within each order, "
+    "line-item pairs of different part brands, higher quantity wins "
+    "(ties skipped). The ONLY data-sized work is the within-order "
+    "self-join (fanout bounded by lines-per-order) collapsing to the "
+    "|brands^2| win matrix; the fixed {BT_ROUNDS}-round MM iteration "
+    "(Hunter 2004: p_i' = W_i / sum_j n_ij/(p_i+p_j)) then runs "
+    "entirely on that metadata-sized frame — per-term division in "
+    "double (deterministic fixed op tree), per-group sums routed "
+    "through DECIMAL(38,18) so summation order cannot diverge "
+    "cross-engine (the q112 PageRank discipline), lazy lineage "
+    "truncation between rounds. Output normalized to sum 1. 100 TB: "
+    "one orderkey shuffle for the duel join, one hash agg; rounds cost "
+    "|brands^2| regardless of corpus size",
+    tags=("B4", "B11", "E5"),
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    pt = load(spark, sf, "part").select("p_partkey", "p_brand")
+    lp = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("b"),
+        F.col("l_quantity").alias("q"),
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+        & (F.col("a.b") != F.col("b.b"))
+        & (F.col("a.q") != F.col("b.q")),
+    ).select(
+        F.when(F.col("a.q") > F.col("b.q"), F.col("a.b"))
+        .otherwise(F.col("b.b"))
+        .alias("i"),
+        F.when(F.col("a.q") > F.col("b.q"), F.col("b.b"))
+        .otherwise(F.col("a.b"))
+        .alias("j"),
+    )
+    wins = materialize_once(
+        duels.groupBy("i", "j").agg(F.count("*").alias("w")), eager=False
+    )
+    wtot = wins.groupBy("i").agg(F.sum("w").cast("bigint").alias("wi"))
+    nmat = materialize_once(
+        wins.unionByName(
+            wins.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("w")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("n")),
+        eager=False,
+    )
+    p = nmat.select("i").distinct().select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ROUNDS):
+        pi = p.select(F.col("i").alias("__i"), F.col("p").alias("pi"))
+        pj = p.select(F.col("i").alias("__j"), F.col("p").alias("pj"))
+        joined = nmat.join(F.broadcast(pi), F.col("i") == F.col("__i")).join(
+            F.broadcast(pj), F.col("j") == F.col("__j")
+        )
+        term = (
+            F.col("n").cast("double") / (F.col("pi") + F.col("pj"))
+        ).cast("decimal(38,18)")
+        denom = joined.groupBy("i").agg(
+            F.sum(term).cast("double").alias("denom")
+        )
+        p = materialize_once(
+            denom.join(wtot, "i", "left").select(
+                "i",
+                (
+                    F.coalesce(F.col("wi"), F.lit(0)).cast("double")
+                    / F.col("denom")
+                ).alias("p"),
+            ),
+            eager=False,
+        )
+    w_all = Window.partitionBy(F.lit(1))
+    s = F.sum(F.col("p").cast("decimal(38,18)")).over(w_all).cast("double")
+    mats = nmat.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_matches"))
+    return (
+        p.join(mats, "i")
+        .join(wtot, "i", "left")
+        .withColumn("__s", s)
+        .select(
+            F.col("i").alias("brand"),
+            F.coalesce(F.col("wi"), F.lit(0)).cast("bigint").alias("n_wins"),
+            "n_matches",
+            F.round(F.col("p") / F.col("__s"), 6).alias("strength"),
+        )
+        .orderBy("brand")
     )
