@@ -76,7 +76,7 @@ def register(
 #: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
 #: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
 #: q128–q131, q133–q139, q141–q143, q145–q147, q150, and the round-6
-#: governance tier q152–q159 — ~37 queries, roughly two more rounds at
+#: governance tier q152–q161 — ~39 queries, roughly two more rounds at
 #: ~17 slots (prefer q145 robust stats, q153 leakage, q154 integrity,
 #: q157 profiler, q159 Bradley-Terry first).
 #: BENCH-LINE BUDGET: the

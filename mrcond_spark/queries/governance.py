@@ -480,26 +480,36 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     "up-/down-sampling compromise), how many EPOCHS of each source the "
     "run implies — the number that flags 'this 4% source gets repeated "
     "11x' before training does it silently. One (source) hash agg for "
-    "per-source token totals; the normalizer is a window over the "
-    "ALREADY-AGGREGATED |sources|-row frame (constant partition key on "
-    "metadata-sized input — NOT the scalar-crossJoin idiom, which would "
-    "re-execute the corpus scan+tokenize lineage for the 1-row total), "
-    "then pure double arithmetic with a fixed op tree + ROUND for "
-    "cross-engine stability. 100 TB: ONE corpus scan, one shuffle "
-    "carrying |sources| partials; everything after is metadata-sized",
+    "per-source token totals, lazily checkpointed (lineage truncation, "
+    "q132's eager=False rule) so the 1-row normalizer aggregate reads "
+    "the stored |sources|-row blocks instead of re-executing the corpus "
+    "scan+tokenize lineage, then broadcast-crossed back (the bounded "
+    "scalar idiom; a partitionBy(lit) window would constant-fold to an "
+    "empty spec -> Exchange SinglePartition). Pure double arithmetic "
+    "with a fixed op tree + ROUND for cross-engine stability. 100 TB: "
+    "ONE corpus scan, one shuffle carrying |sources| partials; "
+    "everything after is metadata-sized",
     tags=("E5", "B11", "B24"),
 )
 def q158(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
     d = load(spark, sf, "documents")
-    per = d.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("src_tokens"),
+    per = materialize_once(
+        d.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(text.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("src_tokens"),
+        ),
+        eager=False,
     )
-    w_all = Window.partitionBy(F.lit(1))
-    total_w = F.sum(F.sqrt(F.col("src_tokens").cast("double"))).over(w_all)
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("total_w")
+    )
     w = F.sqrt(F.col("src_tokens").cast("double")) / F.col("total_w")
     return (
-        per.withColumn("total_w", total_w)
+        per.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
@@ -575,6 +585,198 @@ def _bt_oracle() -> str:
     LEFT JOIN wtot w ON r.i = w.i, norm
     ORDER BY brand
     """
+
+
+# --------------------------------------------------------------------------
+# q160 — chi-square independence audit (lang x source contingency)
+# --------------------------------------------------------------------------
+@register(
+    "q160_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, o,
+               SUM(o) OVER (PARTITION BY lang) AS rl,
+               SUM(o) OVER (PARTITION BY source) AS cs,
+               SUM(o) OVER () AS n
+        FROM obs
+    ),
+    cell AS (
+        SELECT o, n,
+               CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS e
+        FROM m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+               AS n_langs,
+           CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+               AS n_sources,
+           CAST(((SELECT COUNT(DISTINCT lang) FROM documents) - 1)
+                * ((SELECT COUNT(DISTINCT source) FROM documents) - 1)
+                AS BIGINT) AS dof,
+           ROUND(
+               CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(38,18)))
+                    AS DOUBLE)
+               + (MAX(n) - CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE)),
+               4) AS chi2
+    FROM cell
+    """,
+    doc="lang x source independence audit: the Pearson chi-square "
+    "statistic over the contingency table — the standard check that a "
+    "corpus's language mix is not secretly a per-source artifact (a "
+    "large chi2 means 'language and source are entangled; stratify "
+    "before subsampling'). One (lang, source) hash agg collapses the "
+    "corpus into the |langs x sources|-row contingency frame, lazily "
+    "checkpointed so every downstream total (row/column windows, grand "
+    "total, distinct-axis counts) reads the stored cells rather than "
+    "re-scanning; the grand total broadcast-crosses back (bounded "
+    "scalar idiom). Zero-observed cells contribute exactly their "
+    "expectation, folded in ALGEBRAICALLY (sum of all E equals N, so "
+    "missing-cell mass = N - sum of observed E) — no dense cross join "
+    "needed. Per-cell arithmetic in double with a fixed op tree; both "
+    "sums routed through DECIMAL(38,18) so summation order cannot "
+    "diverge. 100 TB: one shuffle carrying |langs x sources| partials",
+    tags=("B11", "B24", "E5"),
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
+    d = load(spark, sf, "documents")
+    obs = materialize_once(
+        d.groupBy("lang", "source").agg(
+            F.count("*").cast("bigint").alias("o")
+        ),
+        eager=False,
+    )
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    m = obs.select(
+        "o",
+        F.sum("o").over(w_l).alias("rl"),
+        F.sum("o").over(w_s).alias("cs"),
+    )
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    cell = m.crossJoin(F.broadcast(tot))
+    e = (
+        F.col("rl").cast("double")
+        * F.col("cs").cast("double")
+        / F.col("n").cast("double")
+    )
+    cell = cell.select("o", "n", "n_langs", "n_sources", e.alias("e"))
+    chi_obs = F.sum(
+        ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+        .cast("decimal(38,18)")
+    ).cast("double")
+    e_obs = F.sum(F.col("e").cast("decimal(38,18)")).cast("double")
+    return (
+        cell.groupBy("n", "n_langs", "n_sources")
+        .agg(F.round(chi_obs + (F.col("n") - e_obs), 4).alias("chi2"))
+        .select(
+            "n",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q161 — Benford leading-digit audit
+# --------------------------------------------------------------------------
+#: log10(1 + 1/d) for d = 1..9, precomputed to 9 decimals as LITERALS in
+#: both engines — hardcoding removes any cross-engine libm last-ulp risk.
+BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.06694679,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+
+@register(
+    "q161_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(COUNT(*)) OVER () AS n_total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+           CAST(exp_share AS DOUBLE) AS exp_share,
+           ROUND(CAST(n_obs AS DOUBLE) / n_total
+                 - CAST(exp_share AS DOUBLE), 6) AS excess
+    FROM counts
+    JOIN (VALUES {", ".join(f"({d}, {p})" for d, p in BENFORD.items())})
+         AS b(digit, exp_share) USING (digit)
+    ORDER BY digit
+    """,
+    doc="Benford's-law leading-digit audit of the money column: observed "
+    "vs expected first-digit shares — the classic fabricated-data / "
+    "unit-mixup detector (organically scaled magnitudes follow "
+    "log10(1+1/d); synthetic uniform prices, like TPC-H's, visibly do "
+    "not — which is exactly what the audit should report). Leading "
+    "digit via integer floor -> string head (no float log in the data "
+    "path); the nine expected shares are hardcoded decimal LITERALS in "
+    "both engines, eliminating cross-engine libm divergence. One hash "
+    "agg to the lazily-checkpointed 9-row digit frame, its total "
+    "broadcast-crossed back (bounded scalar idiom), plus a broadcast "
+    "9-row constants join. 100 TB: one shuffle carrying 9 partials per "
+    "task",
+    tags=("B11", "B22", "B24"),
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
+    li = load(spark, sf, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = materialize_once(
+        digits.groupBy("digit").agg(
+            F.count("*").cast("bigint").alias("n_obs")
+        ),
+        eager=False,
+    )
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n_obs").alias("n_total")))
+    )
+    bench = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD.items()], "digit INT, exp_share DOUBLE"
+    )
+    share = F.col("n_obs").cast("double") / F.col("n_total")
+    return (
+        counts.join(F.broadcast(bench), "digit")
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share, 6).alias("obs_share"),
+            "exp_share",
+            F.round(share - F.col("exp_share"), 6).alias("excess"),
+        )
+        .orderBy("digit")
+    )
 
 
 @register(

@@ -120,7 +120,7 @@ def test_bench_summary_line_fits_driver_tail_window():
         compact[str(900 + i)] = 99.9
     line = json.dumps(
         {
-            "metric": "declared_corpus_wall_clock",
+            "metric": "corpus_wall_s",
             "value": 99999.999,
             "unit": "sec",
             "queries": compact,
@@ -131,7 +131,7 @@ def test_bench_summary_line_fits_driver_tail_window():
             "sess_evps": 99999.9,
             "ssj_evps": 99999.9,
             "errs": 0,
-            "total_wall_s": 99999.999,
+            "wall_s": 99999.999,
         },
         separators=(",", ":"),
     )

@@ -130,6 +130,9 @@ _NONEQUI_OK = {
     "q127_embedding_covariance",  # 1-row vector-count scalar broadcast-crossed into the d^2 cov table
     "q141_token_kl_drift",  # 1-row (n_en, n_rest, v) totals broadcast-crossed into the vocab table
     "q143_zorder_layout",  # 1-row min/max bounds broadcast-crossed into the bucketizer
+    "q158_source_epochs",  # 1-row mixture normalizer broadcast-crossed into the checkpointed per-source frame
+    "q160_chi_square",  # 1-row (n, axes) totals broadcast-crossed into the checkpointed contingency cells
+    "q161_benford_audit",  # 1-row digit total broadcast-crossed into the checkpointed 9-row frame
 }
 
 
