@@ -2400,51 +2400,14 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B11", "B16", "B24"),
 )
 def q151(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.weighted import weighted_median
+
     li = load(spark, sf, "lineitem").select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
+        "l_extendedprice",
         F.col("l_quantity").cast("bigint").alias("wt"),
     )
-    # Order-aligned value band: floor is monotonic in v, so ordering by
-    # (band, v, wt) == ordering by (v, wt) within each flag. TPC-H extended
-    # price spans ~[900, 105000] => ~26 bands of width 4096.
-    li = li.withColumn("band", F.floor(F.col("v") / F.lit(4096.0)).cast("int"))
-    w_in = (
-        Window.partitionBy("l_returnflag", "band")
-        .orderBy("v", "wt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    banded = li.select(
-        "l_returnflag", "band", "v", F.sum("wt").over(w_in).alias("cw_in")
-    )
-    band_tot = li.groupBy("l_returnflag", "band").agg(F.sum("wt").alias("bt"))
-    # |flags x bands| rows only — the per-flag windows below are over
-    # metadata-sized input, not the corpus.
-    w_off = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("band")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_flag = Window.partitionBy("l_returnflag")
-    offs = band_tot.select(
-        "l_returnflag",
-        "band",
-        F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("bt").over(w_flag).alias("tw"),
-    )
-    cum = banded.join(F.broadcast(offs), ["l_returnflag", "band"]).select(
-        "l_returnflag",
-        "v",
-        (F.col("off") + F.col("cw_in")).alias("cw"),
-        "tw",
-    )
-    return (
-        cum.groupBy("l_returnflag")
-        .agg(
-            F.max("tw").cast("bigint").alias("total_weight"),
-            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
-                "weighted_median"
-            ),
-        )
-        .orderBy("l_returnflag")
+    # TPC-H extended price spans ~[900, 105000] => ~26 bands of width 4096.
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "wt", band_width=4096.0
     )

@@ -800,7 +800,7 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B4", "B11", "E5"),
 )
 def q159(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import materialize_once
+    from ..operators.preference import bradley_terry
 
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
@@ -827,55 +827,6 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("a.b"))
         .alias("j"),
     )
-    wins = materialize_once(
-        duels.groupBy("i", "j").agg(F.count("*").alias("w")), eager=False
-    )
-    wtot = wins.groupBy("i").agg(F.sum("w").cast("bigint").alias("wi"))
-    nmat = materialize_once(
-        wins.unionByName(
-            wins.select(
-                F.col("j").alias("i"), F.col("i").alias("j"), F.col("w")
-            )
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("w").alias("n")),
-        eager=False,
-    )
-    p = nmat.select("i").distinct().select("i", F.lit(1.0).alias("p"))
-    for _ in range(BT_ROUNDS):
-        pi = p.select(F.col("i").alias("__i"), F.col("p").alias("pi"))
-        pj = p.select(F.col("i").alias("__j"), F.col("p").alias("pj"))
-        joined = nmat.join(F.broadcast(pi), F.col("i") == F.col("__i")).join(
-            F.broadcast(pj), F.col("j") == F.col("__j")
-        )
-        term = (
-            F.col("n").cast("double") / (F.col("pi") + F.col("pj"))
-        ).cast("decimal(38,18)")
-        denom = joined.groupBy("i").agg(
-            F.sum(term).cast("double").alias("denom")
-        )
-        p = materialize_once(
-            denom.join(wtot, "i", "left").select(
-                "i",
-                (
-                    F.coalesce(F.col("wi"), F.lit(0)).cast("double")
-                    / F.col("denom")
-                ).alias("p"),
-            ),
-            eager=False,
-        )
-    w_all = Window.partitionBy(F.lit(1))
-    s = F.sum(F.col("p").cast("decimal(38,18)")).over(w_all).cast("double")
-    mats = nmat.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_matches"))
-    return (
-        p.join(mats, "i")
-        .join(wtot, "i", "left")
-        .withColumn("__s", s)
-        .select(
-            F.col("i").alias("brand"),
-            F.coalesce(F.col("wi"), F.lit(0)).cast("bigint").alias("n_wins"),
-            "n_matches",
-            F.round(F.col("p") / F.col("__s"), 6).alias("strength"),
-        )
-        .orderBy("brand")
+    return bradley_terry(duels, rounds=BT_ROUNDS).select(
+        F.col("entity").alias("brand"), "n_wins", "n_matches", "strength"
     )

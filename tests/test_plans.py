@@ -131,6 +131,7 @@ _NONEQUI_OK = {
     "q141_token_kl_drift",  # 1-row (n_en, n_rest, v) totals broadcast-crossed into the vocab table
     "q143_zorder_layout",  # 1-row min/max bounds broadcast-crossed into the bucketizer
     "q158_source_epochs",  # 1-row mixture normalizer broadcast-crossed into the checkpointed per-source frame
+    "q159_bradley_terry",  # 1-row strength normalizer broadcast-crossed into the checkpointed |brands|-row frame
     "q160_chi_square",  # 1-row (n, axes) totals broadcast-crossed into the checkpointed contingency cells
     "q161_benford_audit",  # 1-row digit total broadcast-crossed into the checkpointed 9-row frame
 }
