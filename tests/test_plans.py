@@ -152,27 +152,79 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     assert not offenders, f"unexpected cartesian/BNLJ plans: {offenders}"
 
 
+def _unpartitioned_window_lines(text: str) -> list[str]:
+    """Lines whose windowspecdefinition carries NO partition column.
+
+    Two renderings exist and both must be caught: the bracket form
+    ``Window [funcs], [partSpec], [orderSpec]`` (empty part spec shows as
+    ``], [], [``) and the inline form where the spec appears INSIDE the
+    function list as ``windowspecdefinition(part..., order ASC..., frame)``
+    — with no partition AND no order it collapses to
+    ``windowspecdefinition(specifiedwindowframe(...))``, which the bracket
+    regex alone misses (round-6 lesson: ``partitionBy(lit(1))``
+    constant-folds to exactly this shape). Partition columns are the spec
+    args that are neither ASC/DESC order entries nor the frame."""
+    import re
+
+    offenders = []
+    for line in text.splitlines():
+        s = line.strip()
+        if "Window" not in s and not s.startswith("WindowGroupLimit"):
+            continue
+        if re.search(r"\], \[\], \[", s):
+            offenders.append(s[:120])
+            continue
+        for m in re.finditer(r"windowspecdefinition\(", s):
+            # take the args up to the frame spec; tolerate nested parens
+            tail = s[m.end():]
+            head = tail.split("specifiedwindowframe", 1)[0]
+            args = [a.strip() for a in head.split(",") if a.strip()]
+            part_cols = [
+                a for a in args if " ASC" not in a and " DESC" not in a
+            ]
+            if not part_cols:
+                offenders.append(s[:120])
+                break
+    return offenders
+
+
 def test_no_unpartitioned_window_anywhere(spark, sf_dir):
     """No declared query may plan a Window with an empty partition spec: an
     unpartitioned window funnels the whole input through ONE task — the
     single-reducer shape that killed the original global-NTILE plan (fixed
     round 2 with percentile-cutpoint bucketing). Global ORDER BYs are fine
     (range-partitioned sort, fully parallel) — this guards window FUNCTIONS
-    specifically. Physical Window nodes render as
-    ``Window [funcs], [partitionSpec], [orderSpec]``; an empty partition
-    spec shows as ``], [], [``."""
-    import re
-
+    specifically, in BOTH physical renderings (see helper)."""
     offenders = []
     for name, q in sorted(QUERIES.items()):
         text = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        for line in text.splitlines():
-            s = line.strip()
-            if ("Window " in s or s.startswith("WindowGroupLimit")) and re.search(
-                r"\], \[\], \[", s
-            ):
-                offenders.append((name, s[:100]))
+        for line in _unpartitioned_window_lines(text):
+            offenders.append((name, line[:100]))
     assert not offenders, f"single-reducer window plans: {offenders}"
+
+
+def test_unpartitioned_window_guard_catches_constant_fold(spark):
+    """The guard helper must flag the partitionBy(lit) constant-fold shape
+    (no partition, no order) AND the classic global ORDER BY window, and
+    must NOT flag a properly key-partitioned window."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    folded = df.withColumn(
+        "t", F.sum("id").over(Window.partitionBy(F.lit(1)))
+    )
+    global_order = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    keyed = df.withColumn(
+        "t", F.sum("id").over(Window.partitionBy("k").orderBy("id"))
+    )
+    plan = lambda d: d._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+    assert _unpartitioned_window_lines(plan(folded))
+    assert _unpartitioned_window_lines(plan(global_order))
+    assert not _unpartitioned_window_lines(plan(keyed))
 
 
 def test_scale_report_shape(spark, sf_dir):
