@@ -315,6 +315,96 @@ def stream_cusum(
     )
 
 
+DRIFT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("n_bucket", LongType()),
+        StructField("a_partial", DoubleType()),
+    ]
+)
+_DRIFT_STATE = StructType(
+    [StructField("sketch", StringType())]  # json {item: [count, p_ref]}
+)
+
+
+def stream_distribution_drift(
+    stream: DataFrame,
+    reference: DataFrame,
+    item_col: str = "event_type",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """S11/E5 hybrid: streaming KL-divergence drift of an item
+    distribution against a batch-trained reference — the live half of the
+    q141 token-KL / q160 independence audits ('is today's traffic still
+    shaped like the training corpus?').
+
+    KL(obs || ref) needs the WHOLE observed distribution, which no single
+    distributed state key may hold. Instead each hash bucket accumulates
+    counts for ITS items and emits a MERGEABLE partial per update:
+
+        a_partial = sum_i  n_i * ln(n_i / p_ref_i)      (its items only)
+        n_bucket  = sum_i  n_i
+
+    because KL = (1/N) * sum_i n_i*ln(n_i/(N*p_i)) = (sum a)/N - ln N
+    with N = sum n_bucket — so the consumer combines B bounded rows
+    (``combine_drift_partials``) into the exact statistic, the same
+    partial-then-merge discipline as the q149 HLL rollup and the MG
+    heavy hitters. ``reference`` must carry ``(item_col, p_ref)`` shares;
+    it is broadcast per micro-batch (nightly refresh without restart) and
+    items ABSENT from it are dropped before the stateful op — no
+    reference mass, no defined KL term (the stream_zscore contract; it
+    also bounds per-bucket state by |reference vocab| / n_buckets).
+    Update mode re-emits a bucket's partial each batch; counts are
+    monotone, so the latest row per bucket is the one with max n_bucket.
+    """
+    keyed = stream.join(
+        F.broadcast(reference.select(item_col, "p_ref")), item_col
+    ).select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)).alias("bucket"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col("p_ref").cast("double").alias("p_ref"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import json as _json
+        import math as _math
+
+        sketch = _json.loads(state.get[0]) if state.exists else {}
+        for pdf in pdfs:
+            for item, p in zip(pdf["item"], pdf["p_ref"]):
+                sketch.setdefault(item, [0, float(p)])
+            for item, c in pdf["item"].value_counts().items():
+                sketch[item][0] += int(c)
+        state.update((_json.dumps(sketch),))
+        n = sum(c for c, _p in sketch.values())
+        a = sum(c * _math.log(c / p) for c, p in sketch.values() if c > 0)
+        yield pd.DataFrame(
+            {"bucket": [key[0]], "n_bucket": [n], "a_partial": [a]}
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=DRIFT_SCHEMA,
+        stateStructType=_DRIFT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def combine_drift_partials(partials: DataFrame) -> DataFrame:
+    """Merge ``stream_distribution_drift`` partials (latest row per
+    bucket) into the exact ``(kl, n)``: KL = (sum a)/N - ln N. A bounded
+    |buckets|-row batch aggregate — run it on the sink snapshot or a
+    dashboard query, not inside the stream."""
+    agg = partials.agg(
+        F.sum("a_partial").alias("__a"), F.sum("n_bucket").alias("__n")
+    )
+    return agg.select(
+        (F.col("__a") / F.col("__n") - F.log(F.col("__n"))).alias("kl"),
+        F.col("__n").cast("bigint").alias("n"),
+    )
+
+
 HH_OUTPUT_SCHEMA = StructType(
     [
         StructField("bucket", LongType()),

@@ -670,3 +670,68 @@ def test_stream_weighted_sample_matches_batch_selection(spark, tmp_path):
         .collect()
     ]
     assert got == expect
+
+
+def _latest_drift_partials(spark, table):
+    """Update mode re-emits per batch; counts are monotone, so the latest
+    partial per bucket is the one with max n_bucket."""
+    rows = spark.sql(f"SELECT * FROM {table}").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["bucket"])
+        if cur is None or r["n_bucket"] > cur["n_bucket"]:
+            latest[r["bucket"]] = r
+    return [(r["bucket"], r["n_bucket"], r["a_partial"]) for r in latest.values()]
+
+
+def test_stream_drift_zero_when_reference_matches(spark, event_stream_dir):
+    """S11: KL(obs || ref) == 0 when the reference IS the observed
+    distribution — the combined partials must recover that exactly."""
+    from collections import Counter
+
+    c = Counter(et for _, _, et, _ in EVENT_ROWS)
+    n = sum(c.values())
+    ref = spark.createDataFrame(
+        [(et, cnt / n) for et, cnt in c.items()], "event_type STRING, p_ref DOUBLE"
+    )
+    df = windows.stream_distribution_drift(
+        replay_events(spark, event_stream_dir), ref, n_buckets=4
+    )
+    run_to_memory(spark, df, "drift_zero", "update")
+    latest = _latest_drift_partials(spark, "drift_zero")
+    partials = spark.createDataFrame(
+        latest, "bucket LONG, n_bucket LONG, a_partial DOUBLE"
+    )
+    out = windows.combine_drift_partials(partials).collect()[0]
+    assert out["n"] == n
+    assert abs(out["kl"]) < 1e-12
+
+
+def test_stream_drift_matches_direct_batch_kl(spark, event_stream_dir):
+    """S11: against a skewed (uniform) reference the combined streaming
+    partials must equal the direct batch KL over the same rows."""
+    import math
+    from collections import Counter
+
+    c = Counter(et for _, _, et, _ in EVENT_ROWS)
+    n = sum(c.values())
+    types = sorted(c)
+    ref = spark.createDataFrame(
+        [(et, 1.0 / len(types)) for et in types], "event_type STRING, p_ref DOUBLE"
+    )
+    expected = sum(
+        (cnt / n) * math.log((cnt / n) / (1.0 / len(types)))
+        for cnt in c.values()
+    )
+    df = windows.stream_distribution_drift(
+        replay_events(spark, event_stream_dir), ref, n_buckets=4
+    )
+    run_to_memory(spark, df, "drift_skew", "update")
+    latest = _latest_drift_partials(spark, "drift_skew")
+    partials = spark.createDataFrame(
+        latest, "bucket LONG, n_bucket LONG, a_partial DOUBLE"
+    )
+    out = windows.combine_drift_partials(partials).collect()[0]
+    assert out["n"] == n
+    assert expected > 0.01  # the skew is real
+    assert abs(out["kl"] - expected) < 1e-9
