@@ -524,6 +524,74 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q162 — duplication profile (cluster-size histogram of exact-dup groups)
+# --------------------------------------------------------------------------
+@register(
+    "q162_duplication_profile",
+    oracle="""
+    WITH h AS (
+        SELECT COUNT(*) AS k
+        FROM documents
+        GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    hist AS (
+        SELECT CAST(k AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM h GROUP BY k
+    ),
+    tot AS (SELECT SUM(cluster_size * n_clusters) AS n FROM hist)
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           ROUND(CAST(cluster_size * n_clusters AS DOUBLE) / n, 6)
+               AS corpus_share
+    FROM hist, tot ORDER BY cluster_size
+    """,
+    doc="duplication profile: the cluster-size histogram of exact-dup "
+    "groups (normalized-text sha256, the q40 key) — 'how duplicated is "
+    "this corpus, and where does the mass sit?' The number a dedup pass "
+    "is planned around: a corpus that is 40% size-2 clusters needs a "
+    "different strategy than one with a handful of million-row clusters "
+    "(and the tail of this histogram IS the skew a dedup shuffle will "
+    "meet). Two collapsing hash aggs (hash -> cluster size -> size "
+    "histogram; the first shuffles a uniform 256-bit key — no skew by "
+    "construction), then the corpus total broadcast-crosses back from "
+    "the lazily-checkpointed histogram frame. 100 TB: both shuffles "
+    "strictly collapse; the histogram is |distinct sizes| rows",
+    tags=("E1", "B11"),
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+    from ..operators.dedup import text_hash
+
+    d = load(spark, sf, "documents")
+    clusters = d.groupBy(text_hash(F.col("text")).alias("h")).agg(
+        F.count("*").alias("k")
+    )
+    hist = materialize_once(
+        clusters.groupBy(F.col("k").cast("bigint").alias("cluster_size")).agg(
+            F.count("*").cast("bigint").alias("n_clusters")
+        ),
+        eager=False,
+    )
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("n")
+    )
+    mass = F.col("cluster_size") * F.col("n_clusters")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            mass.cast("bigint").alias("n_docs"),
+            F.round(mass.cast("double") / F.col("n"), 6).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
 # q159 — Bradley-Terry preference strength (fixed-round MM iteration)
 # --------------------------------------------------------------------------
 BT_ROUNDS = 3

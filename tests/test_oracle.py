@@ -135,4 +135,9 @@ def test_bench_summary_line_fits_driver_tail_window():
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"bench line {len(line)} chars risks driver truncation"
+    # The driver records EXACTLY the last 2000 chars of stdout (measured:
+    # every BENCH_r0*.json "tail" is len 2000) and json-parses the final
+    # line; the line is the last thing bench.py prints, so line + "\n"
+    # must fit in 2000 -> hard ceiling 1999. 1950 keeps ~50 chars of
+    # margin for platform newline quirks.
+    assert len(line) < 1950, f"bench line {len(line)} chars risks driver truncation"

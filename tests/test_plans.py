@@ -134,6 +134,7 @@ _NONEQUI_OK = {
     "q159_bradley_terry",  # 1-row strength normalizer broadcast-crossed into the checkpointed |brands|-row frame
     "q160_chi_square",  # 1-row (n, axes) totals broadcast-crossed into the checkpointed contingency cells
     "q161_benford_audit",  # 1-row digit total broadcast-crossed into the checkpointed 9-row frame
+    "q162_duplication_profile",  # 1-row corpus total broadcast-crossed into the checkpointed size histogram
 }
 
 
