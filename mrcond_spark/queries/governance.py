@@ -350,6 +350,12 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
 def q156(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     toks = d.select(text.tokens(F.col("text")).alias("t"))
+    # size >= 2 gate BEFORE the pair transform: Spark's sequence(1, 0) on a
+    # one-token doc generates a DESCENDING [1, 0] and element_at then
+    # throws INVALID_ARRAY_INDEX under ANSI mode — a 0-or-1-token doc
+    # must contribute zero pairs, exactly like the oracle's empty
+    # range(1, 1). (Regression-tested in test_governance.py.)
+    toks = toks.filter(F.size(F.col("t")) >= 2)
     pairs = toks.select(
         F.explode(
             F.expr(

@@ -111,3 +111,26 @@ def test_profiler_distinct_counts_are_exact(spark, sf_dir):
     for c in ("l_quantity", "l_tax"):
         truth = li.select(c).distinct().count()
         assert out[c]["n_distinct"] == truth
+
+
+def test_bpe_pairs_survive_short_documents(spark, tmp_path):
+    """A 0- or 1-token document must contribute zero pairs — without the
+    size gate, Spark's sequence(1, 0) yields a DESCENDING [1, 0] and
+    element_at throws INVALID_ARRAY_INDEX under ANSI mode (latent crash:
+    the synthetic corpus happens to contain no 1-token docs)."""
+    import os
+
+    from mrcond_spark.queries import REGISTRY
+
+    d = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        [
+            (0, "single", "en", "s0", 6),
+            (1, "", "en", "s0", 0),
+            (2, "a b a b", "en", "s0", 7),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.mode("overwrite").parquet(d)
+    out = REGISTRY["q156_bpe_pair_stats"].spark(spark, str(tmp_path)).collect()
+    got = {r["pair"]: r["cnt"] for r in out}
+    assert got == {"a b": 2, "b a": 1}
