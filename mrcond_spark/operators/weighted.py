@@ -39,10 +39,13 @@ def weighted_median(
 ) -> DataFrame:
     """Per-group ``(total_weight, weighted_median)``.
 
-    ``weight_col`` must be integer-typed (exact gate arithmetic) and
-    non-negative; rows with zero weight never become the median unless
-    tied on value with positive-weight rows (they add nothing to the
-    running sum). ``band_width`` trades parallelism against the size of
+    ``value_col`` must be NON-NULL on every row: a NULL value has no
+    position in the band-aligned order, and its rows would fall out of
+    the offset equi-join while still counting into the band totals —
+    filter NULLs first. ``weight_col`` must be integer-typed (exact gate
+    arithmetic) and non-negative; rows with zero weight never become the
+    median unless tied on value with positive-weight rows (they add
+    nothing to the running sum). ``band_width`` trades parallelism against the size of
     the broadcast offset frame: aim for tens-to-hundreds of bands over
     the value domain (for unknown domains derive bands from approx
     quantiles instead of a fixed width).
