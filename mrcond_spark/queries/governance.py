@@ -126,6 +126,55 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q163 — group-level split (leakage-proof by construction)
+# --------------------------------------------------------------------------
+@register(
+    "q163_group_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_sql_split('source')} AS split, source,
+               len({SQL_TOKENS}) AS n_tokens
+        FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split
+    ORDER BY split
+    """,
+    doc="GROUP-level train/val/test split: the whole SOURCE is hashed to "
+    "one split, so every document of a source lands together — the "
+    "leakage-proof-by-construction alternative to q152's per-document "
+    "split (near-duplicates overwhelmingly live within a source/crawl/"
+    "cluster; q153 AUDITS the per-doc split for leakage, this one "
+    "prevents it structurally, at the cost of chunkier split "
+    "proportions — the classic GroupShuffleSplit trade). Same seeded "
+    "60-bit md5 assignment, keyed on the group; per-split accounting of "
+    "sources/docs/tokens. 100 TB: one narrow projection into one hash "
+    "agg; the group key's hash IS the split, so no join against a "
+    "group-assignment table is ever needed",
+    tags=("E5", "B11", "B12"),
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select(
+            split_assignment(F.col("source")).alias("split"),
+            "source",
+            text.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
 # q153 — cross-split near-duplicate leakage audit
 # --------------------------------------------------------------------------
 @register(
