@@ -915,17 +915,23 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B4", "B11", "E5"),
 )
 def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
     from ..operators.preference import bradley_terry
 
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
     pt = load(spark, sf, "part").select("p_partkey", "p_brand")
-    lp = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("p_brand").alias("b"),
-        F.col("l_quantity").alias("q"),
+    # both sides of the duel self-join consume lp — lazy checkpoint so the
+    # scan + brand broadcast-join runs once, not once per side
+    lp = materialize_once(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("p_brand").alias("b"),
+            F.col("l_quantity").alias("q"),
+        ),
+        eager=False,
     )
     a, b = lp.alias("a"), lp.alias("b")
     duels = a.join(
