@@ -4,8 +4,10 @@ One import surface for the engine's scalar/array helpers:
 - text: tokenization, token counts, language heuristic, fingerprints
 - dedup: normalization + content hashing, shingles
 - similarity: dot/norm/cosine over array columns
+- governance: deterministic split assignment (pure function of an id)
 """
 
+from ..operators.splits import split_assignment
 from ..operators.dedup import normalized_text, shingle_udf, shingles, text_hash
 from ..operators.similarity import cosine, dot, norm
 from ..operators.text import (
@@ -18,6 +20,7 @@ from ..operators.text import (
 )
 
 __all__ = [
+    "split_assignment",
     "normalized_text",
     "text_hash",
     "shingles",

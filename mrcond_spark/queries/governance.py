@@ -18,7 +18,7 @@ extension surface (SURVEY §2.4 E1–E7), same as queries/llm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -27,11 +27,10 @@ from ..operators import text
 from . import register
 from .llm import PLANT_OFFSET, plant_duplicates
 
-#: train/val/test split percentages (out of 100 hash buckets). The split is
-#: a pure function of doc_id — reproducible across engines, retries, and
-#: corpus growth (a doc's split never changes when other docs arrive).
-SPLIT_SEED = "seed152"
-TRAIN_PCT, VAL_PCT = 90, 5
+#: split definition lives in operators/splits.py (re-exported through
+#: mrcond_spark.functions); the oracles restate it via sql_split.
+from ..operators.splits import TRAIN_PCT, VAL_PCT, split_assignment
+from ..operators.splits import sql_split as _sql_split
 
 #: q158 training-run token budget (absolute, like q97's TOKEN_BUDGET) and
 #: the mixture temperature exponent (0.5 = sqrt-scaled sampling, the
@@ -47,33 +46,6 @@ TOP_PAIRS = 30
 SQL_TOKENS = (
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
 )
-
-
-def split_assignment(id_col: Column) -> Column:
-    """Deterministic split label for an id: md5(seed:id) -> 60-bit int ->
-    bucket 0..99 -> train/val/test by the declared percentages. The same
-    definition serves q152 (assignment) and q153 (leakage audit) — and the
-    oracles restate it in SQL with the same seed string."""
-    hk = F.md5(F.concat(F.lit(f"{SPLIT_SEED}:"), id_col.cast("string")))
-    bucket = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long") % 100
-    return (
-        F.when(bucket < TRAIN_PCT, F.lit("train"))
-        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
-
-def _sql_split(id_expr: str) -> str:
-    """The DuckDB restatement of ``split_assignment`` for an id expression."""
-    bucket = (
-        f"CAST(('0x' || substr(md5(concat('{SPLIT_SEED}:', "
-        f"CAST({id_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
-    )
-    return (
-        f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' "
-        f"WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
-        f"ELSE 'test' END"
-    )
 
 
 # --------------------------------------------------------------------------
