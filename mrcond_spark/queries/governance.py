@@ -1,10 +1,13 @@
-"""Data-governance tier (round-6 additions, q152+): the split / audit /
-profiling operations a training-data platform runs BEFORE a corpus is
-allowed near a model — deterministic train/val/test assignment,
-cross-split near-duplicate leakage audit, referential-integrity checks,
-annotation majority-vote aggregation, BPE-style pair statistics, column
-profiling, mixture-epoch accounting, and Bradley-Terry preference
-aggregation.
+"""Data-governance tier (round-6 additions, q152–q163): the split /
+audit / profiling operations a training-data platform runs BEFORE a
+corpus is allowed near a model — deterministic train/val/test assignment
+(per-document q152 and leakage-proof group-level q163), cross-split
+near-duplicate leakage audit (q153), referential-integrity checks
+(q154), annotation majority-vote aggregation (q155), BPE-style pair
+statistics (q156), column profiling (q157), mixture-epoch accounting
+(q158), Bradley-Terry preference aggregation (q159), chi-square
+independence (q160) and Benford leading-digit (q161) audits, and the
+duplication profile (q162).
 
 All deterministic (seeded md5 splits, no ``rand()``), every query carries
 a full DuckDB hash oracle, and every plan keeps the corpus posture: hash
