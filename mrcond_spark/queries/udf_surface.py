@@ -4,6 +4,7 @@ each with a deterministic DuckDB oracle (SURVEY §2.4 E7).
 - q51: grouped-map ``applyInPandas`` (per-group top-k rank)
 - q52: Python UDTF (table function exploding tokens with positions)
 - q53: grouped-agg ``pandas_udf`` (per-group threshold count)
+- q164: Arrow-native grouped map ``applyInArrow`` (per-group histogram)
 
 All closures are self-contained (executor-safe without the package).
 """
@@ -111,4 +112,52 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(n_high(F.col("value")).alias("n_high"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q164_arrow_grouped_hist",
+    oracle="""
+    SELECT l_returnflag,
+           CAST((CAST(l_quantity AS INT) - 1) // 10 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, CAST((CAST(l_quantity AS INT) - 1) // 10 AS INT)
+    ORDER BY l_returnflag, bin
+    """,
+    doc="grouped-map applyInArrow: per-returnflag quantity histogram "
+    "(fixed width-10 bins over the integer 1..50 domain) computed "
+    "Arrow-NATIVE — batches stay pyarrow Tables end to end, numpy "
+    "bincount on zero-copy buffers, no pandas materialization (the "
+    "newest and cheapest grouped-map mechanism, completing the E7 "
+    "surface next to q51's applyInPandas). Self-contained closure; "
+    "integer output -> hash-oracle safe. 100 TB: identical shuffle "
+    "shape to any grouped map — one exchange on the group key, Arrow "
+    "IPC both ways; prefer this over applyInPandas whenever the "
+    "per-group logic is array arithmetic",
+    tags=("E7",),
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    def hist(table):  # pyarrow.Table -> pyarrow.Table
+        import numpy as np
+        import pyarrow as pa
+
+        flag = table.column("l_returnflag")[0].as_py()
+        q = table.column("l_quantity").to_numpy(zero_copy_only=False)
+        bins = ((q.astype(np.int64) - 1) // 10).astype(np.int64)
+        counts = np.bincount(bins, minlength=5)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "l_returnflag": pa.array([flag] * len(nz), pa.string()),
+                "bin": pa.array(nz.astype(np.int32), pa.int32()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    li = load(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(hist, schema="l_returnflag STRING, bin INT, n BIGINT")
+        .orderBy("l_returnflag", "bin")
     )
