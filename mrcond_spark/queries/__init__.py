@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "q09_theta_join",         # B9
     "q31_asof_join",          # B10
     "q11_count_distinct",     # B12
-    "q13_cube_grouping",      # B13 (cube + GROUPING()/grouping_id; green r1–r3)
+    "q13_cube_grouping",      # B13 (cube + GROUPING()/grouping_id; green r5)
     "q28_having",             # B14
     "q15_topk_per_group",     # B15
     "q17_topk",               # B17/B18
