@@ -269,6 +269,49 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_probe_reference(
+    new_df: DataFrame,
+    reference_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW-batch docs probed against a
+    REFERENCE corpus's band index — ``(new_id, ref_id)`` pairs, one row
+    per candidate. The daily-pipeline shape: yesterday's corpus is
+    already deduped, so today's batch must never re-pair the whole
+    corpus against itself (the `minhash_lsh_pairs` self-join); it only
+    band-joins |new| signatures against the reference index. The E2
+    counterpart of the exact-hash `dedup_against_reference`.
+
+    100 TB: the reference side is the SAME (id, band, bucket) frame a
+    production system would PERSIST once (partitioned by (band, bucket %
+    k)) and incrementally append to — here it is computed on the fly so
+    the operator stays self-contained; either way the join shuffles
+    |new| + |reference-index| band rows on the bucket key, never
+    |reference|^2, and new-vs-new pairs are intentionally absent (they
+    are the NEXT batch's self-join at |new|-scale, which
+    `minhash_lsh_pairs` covers).
+    """
+    buckets = minhash_band_udf(num_hashes, bands, shingle_n)
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(buckets(F.col(text_col))).alias("band", "bucket"),
+        )
+
+    new_b = banded(new_df, "new_id")
+    ref_b = banded(reference_df, "ref_id")
+    return (
+        new_b.join(ref_b, ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+
+
 def mllib_minhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -76,7 +76,7 @@ def register(
 #: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
 #: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
 #: q128–q131, q133–q139, q141–q143, q145–q147, q150, and the round-6
-#: governance tier q152–q163 and q164 applyInArrow — ~42 queries, roughly two more rounds at
+#: governance tier q152–q163, q164 applyInArrow, and q165 incremental near-dup — ~43 queries, roughly two more rounds at
 #: ~17 slots (prefer q145 robust stats, q153 leakage, q154 integrity,
 #: q157 profiler, q159 Bradley-Terry first).
 #: BENCH-LINE BUDGET: the
@@ -86,8 +86,10 @@ def register(
 #: Round-6 re-compactions: streaming/metric keys shortened (bench.py)
 #: and the ceiling corrected to 1950 (the driver tail is EXACTLY 2000
 #: chars and the line prints last, so line+\n <= 2000 is the real
-#: constraint); at 158 registered queries the worst-case line sits
-#: ~1935/1950 with 8 guarded phantom slots.
+#: constraint); at 159 registered queries the worst-case line (including
+#: the 8 guarded phantom slots) sits just under 1950 — round 7 can add
+#: up to ~8 queries, then MUST re-compact (e.g. cap per-query values at
+#: one decimal, or move the per-query map's keys to a delta encoding).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

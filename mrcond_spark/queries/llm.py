@@ -1597,3 +1597,38 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 def q105(spark: SparkSession, sf: str) -> DataFrame:
     out = text.ngram_novelty(load(spark, sf, "documents"), n=3)
     return out.orderBy("doc_id")
+
+
+@register(
+    "q165_incremental_near_dup",
+    oracle=f"""
+    SELECT doc_id + {PLANT_OFFSET} AS new_id, doc_id AS ref_id
+    FROM documents WHERE doc_id % 25 = 0
+    ORDER BY new_id
+    """,
+    doc="incremental NEAR-dup candidates (E2 sibling of q100's exact "
+    "path): a new crawl batch is probed against the accumulated "
+    "reference corpus's banded MinHash index "
+    "(`operators/dedup.minhash_probe_reference`) — new-vs-reference "
+    "band joins ONLY, never the corpus-wide self-join, which is how a "
+    "daily pipeline keeps near-dedup cost proportional to the batch. "
+    "New batch = re-tagged copies of every 25th reference doc "
+    "(identical text -> identical banded signature -> guaranteed "
+    "candidate), so the planted (new, source) pairs are "
+    "hash-oracle-exact while general recall stays pytest-verified "
+    "(novel text produces zero candidates). 100 TB: the reference side "
+    "is the persistable (id, band, bucket) index frame; the join "
+    "shuffles |new| + |index| band rows on the bucket key",
+    tags=("E2", "E1"),
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    new_batch = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)
+    )
+    pairs = dedup.minhash_probe_reference(new_batch, d)
+    return (
+        pairs.filter(F.col("ref_id") == F.col("new_id") - PLANT_OFFSET)
+        .select("new_id", "ref_id")
+        .orderBy("new_id")
+    )

@@ -929,3 +929,25 @@ def test_hll_rollup_bounds_and_merge_consistency(spark, sf_dir):
         .collect()
     }
     assert got == whole  # merge-consistency: partials union == one pass
+
+
+def test_minhash_probe_reference_recall_and_rejection(spark):
+    """E2 incremental path: every exact copy of a reference doc must hit
+    its source through the band index (identical signature -> guaranteed
+    candidate), and novel text with no shared shingles must produce zero
+    candidates."""
+    ref_rows = [
+        (i, f"the quick brown fox document number {i} jumps over the lazy dog " * 3)
+        for i in range(20)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id LONG, text STRING")
+    copies = [(100 + i, ref_rows[i][1]) for i in range(0, 20, 4)]
+    novel = [(900, "zzz qqq completely unrelated vocabulary xyzzy plugh " * 4)]
+    new = spark.createDataFrame(copies + novel, "doc_id LONG, text STRING")
+    pairs = {
+        (r["new_id"], r["ref_id"])
+        for r in dedup.minhash_probe_reference(new, ref).collect()
+    }
+    for i in range(0, 20, 4):
+        assert (100 + i, i) in pairs, f"planted copy {100 + i} missed its source"
+    assert not any(n == 900 for n, _ in pairs), "novel doc produced candidates"
