@@ -75,21 +75,25 @@ def register(
 #: q48_simhash_pairs (E2 keeps THREE in-window reps: q47 q123 q144).
 #: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
 #: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
-#: q128–q131, q133–q139, q141–q143, q145–q147, q150, and the round-6
-#: governance tier q152–q163, q164 applyInArrow, and q165 incremental near-dup — ~43 queries, roughly two more rounds at
-#: ~17 slots (prefer q145 robust stats, q153 leakage, q154 integrity,
-#: q157 profiler, q159 Bradley-Terry first).
+#: q128–q131, q133–q139, q141–q143, q145–q147, q150, the round-6
+#: governance tier q152–q163, q164 applyInArrow, q165 incremental
+#: near-dup, and q166 sorted-neighborhood blocking — ~44 queries,
+#: roughly two more rounds at ~17 slots (prefer q145 robust stats,
+#: q153 leakage, q154 integrity, q157 profiler, q159 Bradley-Terry
+#: first).
 #: BENCH-LINE BUDGET: the
 #: worst-case compact summary line is guarded by
-#: test_bench_summary_line_fits_driver_tail_window (99.9 s per-query
-#: worst case — a single query near 100 s is a broken round regardless).
-#: Round-6 re-compactions: streaming/metric keys shortened (bench.py)
-#: and the ceiling corrected to 1950 (the driver tail is EXACTLY 2000
-#: chars and the line prints last, so line+\n <= 2000 is the real
-#: constraint); at 159 registered queries the worst-case line (including
-#: the 8 guarded phantom slots) sits just under 1950 — round 7 can add
-#: up to ~8 queries, then MUST re-compact (e.g. cap per-query values at
-#: one decimal, or move the per-query map's keys to a delta encoding).
+#: test_bench_summary_line_fits_driver_tail_window. Round-6
+#: re-compactions (bench.py): streaming/metric keys shortened twice
+#: (cdc/win/ses/ssj), the ceiling corrected to 1950 (the driver tail is
+#: EXACTLY 2000 chars and the line prints last, so line+\n <= 2000 is
+#: the real constraint), and per-query values structurally re-encoded —
+#: 1-decimal seconds under 10 s, integer seconds above (full precision
+#: stays on stderr as queries_full; 0.05 s rounding noise cannot trip
+#: the 1.5x-AND-0.8 s regression floor). At 159 registered queries the
+#: worst-case line with TWENTY guarded phantom slots is ~1867/1950 —
+#: round 7 can add a full ~17-slot rotation of new queries plus ~8 more
+#: before the next re-compaction is due.
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg

@@ -1632,3 +1632,100 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         .select("new_id", "ref_id")
         .orderBy("new_id")
     )
+
+
+@register(
+    "q166_sorted_neighborhood",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               array_to_string(toks[1:2], ' ') AS blk,
+               array_to_string(toks, ' ') AS nt,
+               list_distinct(toks) AS td
+        FROM toked
+    ),
+    nbr AS (
+        SELECT doc_id, td,
+               lead(doc_id, 1) OVER w AS id1, lead(td, 1) OVER w AS td1,
+               lead(doc_id, 2) OVER w AS id2, lead(td, 2) OVER w AS td2
+        FROM keyed
+        WINDOW w AS (PARTITION BY blk ORDER BY nt, doc_id)
+    ),
+    pairs AS (
+        SELECT doc_id AS id_a, id1 AS id_b, CAST(1 AS BIGINT) AS d,
+               td AS ta, td1 AS tb
+        FROM nbr WHERE id1 IS NOT NULL
+        UNION ALL
+        SELECT doc_id, id2, CAST(2 AS BIGINT), td, td2
+        FROM nbr WHERE id2 IS NOT NULL
+    )
+    SELECT id_a, id_b, d,
+           CAST(FLOOR(10000 * len(list_intersect(ta, tb))
+                / GREATEST(len(list_distinct(list_concat(ta, tb))), 1)) AS BIGINT)
+               AS jaccard_bp
+    FROM pairs
+    ORDER BY id_a, id_b, d
+    """,
+    doc="sorted-neighborhood dedup blocking (Hernandez & Stolfo, SIGMOD'95, "
+    "blocked variant): block on the 2-token normalized prefix, sort each "
+    "block by full normalized text, pair every row with its next w=2 "
+    "neighbors via lead() (no self-join), verify with exact unigram "
+    "Jaccard in basis points. Complements the LSH (q47), SimHash (q62) and "
+    "edit-distance blocking (q139) candidate generators with the classic "
+    "sort-based one. 100 TB: the single shuffle is the hash partition on "
+    "the content-derived block key, whose cardinality grows with vocab^2 "
+    "(never O(1) like a lang/source key); neighbor pairs come from lead() "
+    "windows inside each block, so candidate count is exactly w*n and no "
+    "join materializes beyond it; a pathological hot block (shared "
+    "boilerplate prefix) is handled by lengthening the prefix or salting "
+    "the hot key (q116 idiom).",
+    tags=("E2", "B16"),
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    # blk/nt/td all derive from one split(); Catalyst inlines the copies
+    # (cheap whole-array ops — not the per-element HOF inlining that made
+    # q55's shingler O(len^2), which is why that one uses an Arrow UDF)
+    keyed = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+        F.concat_ws(" ", toks).alias("nt"),
+        F.array_distinct(toks).alias("td"),
+    )
+    w = Window.partitionBy("blk").orderBy("nt", "doc_id")
+    nbr = keyed.select(
+        "doc_id",
+        "td",
+        F.lead("doc_id", 1).over(w).alias("id1"),
+        F.lead("td", 1).over(w).alias("td1"),
+        F.lead("doc_id", 2).over(w).alias("id2"),
+        F.lead("td", 2).over(w).alias("td2"),
+    )
+
+    def pairs(idc: str, tdc: str, dv: int) -> DataFrame:
+        return nbr.filter(F.col(idc).isNotNull()).select(
+            F.col("doc_id").alias("id_a"),
+            F.col(idc).alias("id_b"),
+            F.lit(dv).cast("bigint").alias("d"),
+            F.floor(
+                10000
+                * F.size(F.array_intersect("td", tdc))
+                / F.greatest(F.size(F.array_union("td", tdc)), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+
+    return pairs("id1", "td1", 1).unionByName(pairs("id2", "td2", 2)).orderBy("id_a", "id_b", "d")

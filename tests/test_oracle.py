@@ -104,20 +104,22 @@ def test_bench_summary_line_fits_driver_tail_window():
     """The round driver keeps only the last ~2000 chars of bench.py stdout
     and json-parses the final line (rounds 1-2 lost their BENCH artifact to
     truncation). Reconstruct the worst-case compact summary line for the
-    CURRENT corpus — bare query numbers as keys, 1-decimal worst-case values
-    (a query >= 10 s prints 1 decimal; the whole-corpus bench has run
-    60-110 s total across five rounds, so a SINGLE query approaching 100 s
-    would be a broken round regardless of line length — 99.9 is the honest
-    per-query worst case), compact separators — PLUS eight phantom future
-    queries, and assert it stays under budget: the next round must be able
-    to add queries without re-compacting first (round-4's line sat 34
-    chars from the cliff and round-5's additions went over)."""
+    CURRENT corpus — bare query numbers as keys, 1-decimal values under
+    10 s and integer seconds above (the round-6 structural re-compaction:
+    the whole-corpus bench has run 60-135 s total across six rounds, so a
+    SINGLE query approaching 100 s would be a broken round regardless of
+    line length — 9.9 is the honest per-query worst-case repr, and a
+    10-99 s stray prints SHORTER as an integer), compact separators —
+    PLUS twenty phantom future queries (a full ~17-slot rotation round of
+    additions), and assert it stays under budget: the next round must be
+    able to add queries without re-compacting first (round-4's line sat
+    34 chars from the cliff and round-5's additions went over)."""
     import json
 
-    compact = {n.split("_", 1)[0].lstrip("q"): 99.9 for n in QUERIES}
+    compact = {n.split("_", 1)[0].lstrip("q"): 9.9 for n in QUERIES}
     assert len(compact) == len(QUERIES), "query-number keys must stay unique"
-    for i in range(8):  # phantom headroom for future rounds
-        compact[str(900 + i)] = 99.9
+    for i in range(20):  # phantom headroom: a full rotation round of queries
+        compact[str(900 + i)] = 9.9
     line = json.dumps(
         {
             "metric": "corpus_wall_s",
@@ -126,10 +128,10 @@ def test_bench_summary_line_fits_driver_tail_window():
             "queries": compact,
             "sf": 0.1,
             "n": len(compact),
-            "cdc_evps": 99999.9,
-            "win_evps": 99999.9,
-            "sess_evps": 99999.9,
-            "ssj_evps": 99999.9,
+            "cdc": 99999.9,
+            "win": 99999.9,
+            "ses": 99999.9,
+            "ssj": 99999.9,
             "errs": 0,
             "wall_s": 99999.999,
         },
