@@ -38,22 +38,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def global_ntile(
+def global_rank(
     df: DataFrame,
-    n_buckets: int,
     order_cols: list[str],
-    out_col: str = "bucket",
+    out_col: str = "global_rank",
     partitions: int | None = None,
 ) -> DataFrame:
-    """Append ``out_col`` = NTILE(n_buckets) over the global order of
+    """Append ``out_col`` = ROW_NUMBER() over the global order of
     ``order_cols`` (which must be a total order — include a unique tiebreak
-    key, or ties land in nondeterministic buckets).
+    key) without a single-partition Window — the module-docstring steps 1-3
+    as a standalone primitive. EAGER + SNAPSHOT CONTRACT like
+    ``prefix_sum.bucketed_running_sum``: the cutpoint sketch and per-bucket
+    counts jobs run at construction and fold into plan literals.
 
     Skew note: parallelism comes from cutpoints over ``order_cols[0]``, so a
     (near-)constant first column degenerates to few buckets — correct but
     serial, exactly like the value distribution itself. Keys with at least
     ~P distinct values spread evenly; heavier skew costs balance only.
     """
+    ranked, _total = _ranked(df, order_cols, partitions)
+    return ranked.withColumn(out_col, _rank_col(ranked).cast("bigint")).drop(
+        "__bk", "__lrn", "__off"
+    )
+
+
+def _rank_col(ranked: DataFrame):
+    return F.col("__off") + F.col("__lrn")
+
+
+def _ranked(
+    df: DataFrame, order_cols: list[str], partitions: int | None
+) -> tuple[DataFrame, int]:
+    """Shared core: bucket by literal cutpoints, local row_number, cumulative
+    offsets as a ``__off`` column; returns (df + __bk/__lrn/__off, n_rows)."""
     spark = df.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
     key = order_cols[0]
@@ -89,22 +106,39 @@ def global_ntile(
         offsets[row["__bk"]] = total
         total += row["cnt"]
 
-    # 4. closed-form NTILE split over the exact global rank
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for bk, off in offsets.items() for x in (bk, off)]
+        )
+        off = F.coalesce(F.element_at(omap, F.col("__bk")), F.lit(0))
+    else:
+        off = F.lit(0)
+    return local.withColumn("__off", off), total
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    out_col: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = NTILE(n_buckets) over the global order of
+    ``order_cols`` (which must be a total order — include a unique tiebreak
+    key, or ties land in nondeterministic buckets). Same skew/eager notes
+    as ``global_rank``, which shares the bucketed-rank core."""
+    ranked, total = _ranked(df, order_cols, partitions)
+
+    # closed-form NTILE split over the exact global rank
     n, k = total, n_buckets
     big = n % k  # first `big` buckets get one extra row
     size_big = n // k + 1
     size_small = max(n // k, 1)  # guard: n < k never reaches the small branch
 
-    if offsets:
-        omap = F.create_map(
-            *[F.lit(x) for bk, off in offsets.items() for x in (bk, off)]
-        )
-        rank = F.coalesce(F.element_at(omap, F.col("__bk")), F.lit(0)) + F.col("__lrn")
-    else:
-        rank = F.col("__lrn")
+    rank = _rank_col(ranked)
     bucket = (
         F.when(rank <= big * size_big, F.ceil(rank / F.lit(size_big)))
         .otherwise(F.lit(big) + F.ceil((rank - big * size_big) / F.lit(size_small)))
         .cast("int")
     )
-    return local.withColumn(out_col, bucket).drop("__bk", "__lrn")
+    return ranked.withColumn(out_col, bucket).drop("__bk", "__lrn", "__off")

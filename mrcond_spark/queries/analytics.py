@@ -1488,3 +1488,192 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# key-skew audit (the diagnostic that motivates q116/q101's salting tier)
+# --------------------------------------------------------------------------
+@register(
+    "q167_key_skew_audit",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    r AS (
+        SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS HUGEINT) AS rk
+        FROM c
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(c) AS HUGEINT) AS s0,
+               CAST(SUM(rk * c) AS HUGEINT) AS s1
+        FROM r
+    ),
+    t AS (
+        SELECT CAST(MAX(c) AS HUGEINT) AS top1, CAST(SUM(c) AS HUGEINT) AS top10
+        FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+    ),
+    z AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS null_rows
+        FROM events WHERE user_id IS NULL
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_keys,
+           CAST(g.s0 AS BIGINT) AS n_rows,
+           z.null_rows,
+           CAST((10000 * t.top1) // g.s0 AS BIGINT) AS top1_share_bp,
+           CAST((10000 * t.top10) // g.s0 AS BIGINT) AS top10_share_bp,
+           CAST((10000 * (2 * g.s1 - (g.n + 1) * g.s0)) // (g.n * g.s0) AS BIGINT)
+               AS gini_bp
+    FROM g, t, z
+    ORDER BY n_keys
+    """,
+    doc="join/agg-key skew audit over events.user_id: key count, row count, "
+    "NULL-key rows, top-1/top-10 key share and the Gini coefficient of the "
+    "per-key frequency distribution, all in exact integer basis points — "
+    "the shuffle-planning diagnostic that tells you BEFORE a 100 TB join "
+    "whether to salt (q116/q101) or broadcast. Gini needs every key's "
+    "global frequency rank: computed with `operators/ntile.global_rank` "
+    "(cutpoint-bucketed distributed ROW_NUMBER — no single-partition "
+    "window; EAGER builder, two bounded-metadata jobs on the per-key "
+    "counts frame, which is already |distinct keys| << corpus rows). "
+    "Integer overflow discipline: rank*count products and the Gini "
+    "rational go through DECIMAL(38,0)/HUGEINT on both engines, and the "
+    "floor-division operands are non-negative so Spark's `div` (truncate) "
+    "equals DuckDB's `//` (floor).",
+    tags=("B11", "B15", "B24", "E5"),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ntile import global_rank
+
+    ev = load(spark, sf, "events")
+    counts = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = global_rank(counts, ["c", "user_id"], out_col="rk")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s0"),
+        F.sum(d38(F.col("rk")) * d38(F.col("c"))).alias("s1"),
+    )
+    t = (
+        counts.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(F.max("c").alias("top1"), F.sum("c").alias("top10"))
+    )
+    z = ev.filter(F.col("user_id").isNull()).agg(
+        F.count(F.lit(1)).alias("null_rows")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(z))
+        .select(
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.col("s0").cast("bigint").alias("n_rows"),
+            F.col("null_rows"),
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * CAST(top1 AS DECIMAL(38,0))"
+                " div CAST(s0 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("top1_share_bp"),
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * CAST(top10 AS DECIMAL(38,0))"
+                " div CAST(s0 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("top10_share_bp"),
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0))"
+                " * (CAST(2 AS DECIMAL(38,0)) * s1"
+                "    - (CAST(n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))"
+                "      * CAST(s0 AS DECIMAL(38,0)))"
+                " div (CAST(n AS DECIMAL(38,0)) * CAST(s0 AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("gini_bp"),
+        )
+        .orderBy("n_keys")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped OLS fit via sufficient statistics (B11/B24 ML-adjacent aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "q168_group_ols",
+    oracle="""
+    WITH pts AS (
+        SELECT n.n_name,
+               CAST(l.l_quantity AS HUGEINT) AS x,
+               CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    suff AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM pts GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_pts,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope_cents,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS intercept_cents
+    FROM suff ORDER BY n_name
+    """,
+    doc="per-nation least-squares fit of line-item price (cents) against "
+    "quantity, computed from the five OLS sufficient statistics in ONE "
+    "hash aggregate over the fact table — the 'train a per-group linear "
+    "model without an ML library' pattern. 100 TB: two broadcast dim "
+    "joins (supplier, nation — the fact side never shuffles for the "
+    "join), one map-side-combining agg on a 25-key group; no per-group "
+    "iteration, no collect. Cross-engine exactness: x and cent-scaled y "
+    "are integers; every sum/product runs in DECIMAL(38,0)/HUGEINT "
+    "(bit-exact both engines), and the ONLY float ops are the final "
+    "slope/intercept divisions of those identical integers — IEEE double "
+    "division of identical operands is bit-identical, so no rounding is "
+    "needed (q116's mu follows the same rule).",
+    tags=("B4", "B11", "B24"),
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    suff = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(d38("x")).alias("sx"),
+            F.sum(d38("y")).alias("sy"),
+            F.sum(d38("x") * d38("x")).alias("sxx"),
+            F.sum(d38("x") * d38("y")).alias("sxy"),
+        )
+    )
+    return suff.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_pts"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), F.lit(0)
+            ).cast("double")
+        ).alias("slope_cents"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), F.lit(0)
+            ).cast("double")
+        ).alias("intercept_cents"),
+    ).orderBy("n_name")

@@ -42,3 +42,29 @@ def test_global_ntile_equals_window_ntile(spark_global, n, k, mod):
         )
     )
     assert actual == expected
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    mod=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_rank_equals_window_row_number(spark_global, n, mod):
+    """global_rank (the refactored steps-1-3 core) == single-reducer
+    ROW_NUMBER over the same total order, across ragged/duplicate-heavy/
+    constant-key shapes."""
+    from mrcond_spark.operators.ntile import global_rank
+
+    df = spark_global.range(n).select(
+        (F.col("id") % mod).alias("v"), F.col("id").alias("tie")
+    )
+    expected = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "r", F.row_number().over(Window.orderBy("v", "tie")).cast("bigint")
+            ).collect(),
+        )
+    )
+    actual = sorted(map(tuple, global_rank(df, ["v", "tie"], out_col="r").collect()))
+    assert actual == expected

@@ -135,6 +135,7 @@ _NONEQUI_OK = {
     "q160_chi_square",  # 1-row (n, axes) totals broadcast-crossed into the checkpointed contingency cells
     "q161_benford_audit",  # 1-row digit total broadcast-crossed into the checkpointed 9-row frame
     "q162_duplication_profile",  # 1-row corpus total broadcast-crossed into the checkpointed size histogram
+    "q167_key_skew_audit",  # two 1-row scalar frames (top-k shares, NULL-key count) broadcast-crossed into the 1-row Gini aggregate
 }
 
 
