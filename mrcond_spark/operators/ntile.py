@@ -116,6 +116,62 @@ def _ranked(
     return local.withColumn("__off", off), total
 
 
+def grouped_hash_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "grp_rank",
+    band_chars: int = 2,
+) -> DataFrame:
+    """Append ``out_col`` = ROW_NUMBER() OVER (PARTITION BY group_cols
+    ORDER BY hash_col, tiebreak_cols) — safe when the group key has O(1)
+    cardinality, where a plain window makes each partition a
+    corpus/|groups|-row single task (the q151 lesson; see
+    `operators/weighted.py`). Fully LAZY, unlike `global_rank` — no
+    construction-time jobs:
+
+    1. band = the first ``band_chars`` hex chars of ``hash_col`` (256
+       bands at 2 chars) — a prefix is monotone in the string order, so
+       per-group ``(hash, tiebreaks)`` order equals ``(band, hash,
+       tiebreaks)``; uniform hashes make bands uniform BY CONSTRUCTION,
+       no cutpoint sketch needed;
+    2. within-band ``row_number`` windowed on (groups..., band) —
+       parallelism = |groups| x 16^band_chars;
+    3. band offsets from a (groups..., band) count aggregate — a
+       metadata-sized frame whose per-group cumulative window is cheap —
+       broadcast-joined back; rank = offset + within-band row_number.
+
+    ``hash_col`` must be a non-NULL fixed-width lowercase-hex string
+    (e.g. ``F.md5(...)``); ``group_cols`` + ``hash_col`` + ``tiebreak_cols``
+    must be NULL-free (NULL group keys would silently form their own
+    band-join group — filter or map them first)."""
+    banded = df.withColumn("__band", F.substring(F.col(hash_col), 1, band_chars))
+    w_in = Window.partitionBy(*group_cols, "__band").orderBy(
+        hash_col, *tiebreak_cols
+    )
+    local = banded.withColumn("__brn", F.row_number().over(w_in))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        banded.groupBy(*group_cols, "__band")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .select(
+            *group_cols,
+            "__band",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__boff"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), [*group_cols, "__band"])
+        .withColumn(out_col, (F.col("__boff") + F.col("__brn")).cast("bigint"))
+        .drop("__band", "__brn", "__boff")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n_buckets: int,

@@ -1,4 +1,5 @@
-"""Deterministic weighted sampling primitives (Efraimidis-Spirakis A-ES).
+"""Deterministic sampling primitives: Efraimidis-Spirakis A-ES weighted
+sampling and exact largest-remainder stratified sampling.
 
 A-ES ("Weighted random sampling with a reservoir", IPL 2006) reduces
 weighted sampling WITHOUT replacement to a top-k: give each row the key
@@ -36,3 +37,85 @@ def aes_key(id_col: Column, weight_col: Column, seed: str) -> Column:
     h = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long")
     u = (h + F.lit(1)) / F.lit(U_DEN)
     return F.log(u) / weight_col
+
+
+#: strata are plan literals (quota/offset maps) and a driver-side count
+#: collect — cap them like `frontier.MAX_BUCKETS` caps skyline buckets.
+MAX_STRATA = 100_000
+
+
+def stratified_sample_exact(
+    df,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    seed: str,
+    rank_col: str = "st_rank",
+    quota_col: str = "quota",
+):
+    """Exact-size proportional stratified sample: apportion a GLOBAL budget
+    of ``k`` rows across strata with largest-remainder (Hamilton) rounding,
+    then take each stratum's quota deterministically in seeded-md5-hash
+    order of ``id_col`` (ties broken by id). Unlike fixed-k-per-class
+    (q83), the output size is exactly ``min(k, n_rows)`` and per-stratum
+    sizes track the population mixture — the training-set-downsampling
+    idiom that preserves the source/language distribution.
+
+    Deterministic on any engine/partitioning (hash order, no RNG), so
+    the whole sample is oracle-checkable. EAGER contract: ONE bounded
+    job at construction collects per-stratum counts (≤ ``MAX_STRATA``
+    rows — stratified sampling over unbounded strata is degenerate) to
+    compute quotas driver-side with exact integer arithmetic; selection
+    itself is the lazy banded `ntile.grouped_hash_rank` (parallelism =
+    |strata| x 256, no per-stratum single-task window) against quota
+    literals — zero data-sized collects, zero extra shuffles beyond the
+    rank's own (stratum, band) exchange.
+
+    ``stratum_col`` must be NULL-free (raises otherwise — a NULL stratum
+    has no quota semantics); ``id_col`` must be unique and NULL-free.
+    Largest-remainder ties go to the byte-wise-smaller stratum string.
+    """
+    from .ntile import grouped_hash_rank
+
+    counts = (
+        df.groupBy(F.col(stratum_col).cast("string").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if any(r["__s"] is None for r in counts):
+        raise ValueError("stratified_sample_exact: NULL stratum values")
+    if len(counts) > MAX_STRATA:
+        raise ValueError(
+            f"stratified_sample_exact: {len(counts)} strata exceed the "
+            f"{MAX_STRATA} literal-map/collect cap"
+        )
+    n_by_s = {r["__s"]: r["n"] for r in counts}
+    total = sum(n_by_s.values())
+    k_eff = min(k, total)
+    quotas = {s: k_eff * n // total for s, n in n_by_s.items()} if total else {}
+    extra = k_eff - sum(quotas.values())
+    for s in sorted(
+        n_by_s, key=lambda s: (-(k_eff * n_by_s[s] % total), s.encode())
+    )[:extra]:
+        quotas[s] += 1
+
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    ranked = grouped_hash_rank(
+        df.withColumn("__hk", hk),
+        [stratum_col],
+        "__hk",
+        [id_col],
+        out_col=rank_col,
+    )
+    if quotas:
+        qmap = F.create_map(
+            *[F.lit(x) for s, q in quotas.items() for x in (s, q)]
+        )
+        quota = F.element_at(qmap, F.col(stratum_col).cast("string"))
+    else:
+        quota = F.lit(0)
+    return (
+        ranked.withColumn(quota_col, quota.cast("bigint"))
+        .filter(F.col(rank_col) <= F.col(quota_col))
+        .drop("__hk")
+    )

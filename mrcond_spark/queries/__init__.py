@@ -77,7 +77,8 @@ def register(
 #: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
 #: q128–q131, q133–q139, q141–q143, q145–q147, q150, the round-6
 #: governance tier q152–q163, q164 applyInArrow, q165 incremental
-#: near-dup, and q166 sorted-neighborhood blocking — ~44 queries,
+#: near-dup, q166 sorted-neighborhood blocking, q167 key-skew audit,
+#: q168 per-group OLS, and q169 stratified budget sample — ~47 queries,
 #: roughly two more rounds at ~17 slots (prefer q145 robust stats,
 #: q153 leakage, q154 integrity, q157 profiler, q159 Bradley-Terry
 #: first).

@@ -1729,3 +1729,72 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return pairs("id1", "td1", 1).unionByName(pairs("id2", "td2", 2)).orderBy("id_a", "id_b", "d")
+
+
+# --------------------------------------------------------------------------
+# B31/E5 — exact proportional stratified sampling (largest-remainder budget)
+# --------------------------------------------------------------------------
+@register(
+    "q169_stratified_budget_sample",
+    oracle="""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               LEAST(CAST(100 AS HUGEINT), CAST(SUM(n) AS HUGEINT)) AS k
+        FROM c
+    ),
+    q AS (
+        SELECT c.lang, (t.k * c.n) // t.nn AS fl, (t.k * c.n) % t.nn AS rem
+        FROM c, t
+    ),
+    r AS (
+        SELECT lang, fl,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS pos
+        FROM q
+    ),
+    alloc AS (
+        SELECT r.lang,
+               r.fl + CASE WHEN r.pos <= x.extra THEN 1 ELSE 0 END AS quota
+        FROM r, (SELECT (SELECT k FROM t) - SUM(fl) AS extra FROM q) x
+    ),
+    rk AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat169:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS st_rank
+        FROM documents
+    )
+    SELECT rk.lang, rk.st_rank, rk.doc_id, rk.n_chars,
+           CAST(a.quota AS BIGINT) AS quota
+    FROM rk JOIN alloc a ON rk.lang = a.lang
+    WHERE rk.st_rank <= a.quota
+    ORDER BY rk.lang, rk.st_rank
+    """,
+    doc="exact-size proportional stratified sample: a GLOBAL budget of "
+    "min(100, corpus) rows apportioned across languages by largest-"
+    "remainder (Hamilton) rounding, each stratum's quota then taken in "
+    "seeded-md5 order (`operators/sampling.stratified_sample_exact`). "
+    "Complements q83 (fixed k PER class, low-cardinality-window plan): "
+    "here the output size is exact, per-stratum sizes track the corpus "
+    "mixture, and the rank is the LAZY banded `grouped_hash_rank` — "
+    "per-(lang, hash-prefix-band) windows + a metadata-sized offset "
+    "broadcast, so a 3-language 100 TB corpus still ranks on |langs|x256 "
+    "tasks instead of 3. EAGER builder: one bounded per-stratum count "
+    "collect computes the quotas driver-side in exact integer arithmetic "
+    "(floor + remainder, byte-order tie-break — reproduced verbatim by "
+    "the oracle's HUGEINT window form).",
+    tags=("B31", "E5", "B15"),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample_exact
+
+    d = load(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    return (
+        stratified_sample_exact(d, "lang", "doc_id", 100, "strat169")
+        .select("lang", "st_rank", "doc_id", "n_chars", "quota")
+        .orderBy("lang", "st_rank")
+    )
