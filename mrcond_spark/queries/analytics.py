@@ -1677,3 +1677,124 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("double")
         ).alias("intercept_cents"),
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# multi-feature OLS via normal equations (q168's d>1 generalization)
+# --------------------------------------------------------------------------
+@register(
+    "q173_normal_equations",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS HUGEINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS HUGEINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+               SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+        FROM pts GROUP BY flag
+    ),
+    d AS (
+        SELECT flag, n,
+               n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+                 + sx2*(sx1*s12 - s11*sx2) AS det,
+               sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+                 + sx2*(s1y*s12 - s11*s2y) AS det0,
+               n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+                 + sx2*(sx1*s2y - s1y*sx2) AS det1,
+               n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+                 + sy*(sx1*s12 - s11*sx2) AS det2
+        FROM s
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_pts,
+           CAST(CASE WHEN det0 < 0
+                THEN -((2*(-det0)*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+                ELSE  ((2*det0*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+           END AS DOUBLE) / 1000000.0 AS b0_cents,
+           CAST(CASE WHEN det1 < 0
+                THEN -((2*(-det1)*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+                ELSE  ((2*det1*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+           END AS DOUBLE) / 1000000.0 AS b1_cents,
+           CAST(CASE WHEN det2 < 0
+                THEN -((2*(-det2)*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+                ELSE  ((2*det2*1000000 + NULLIF(det, 0)) // (2*NULLIF(det, 0)))
+           END AS DOUBLE) / 1000000.0 AS b2_cents
+    FROM d ORDER BY flag
+    """,
+    doc="per-returnflag TWO-feature least squares (price ~ quantity + "
+    "discount, cents): the d>1 generalization of q168 — one hash "
+    "aggregate emits the 9 normal-equation sufficient statistics "
+    "(X'X upper triangle + X'y), the 3x3 system is solved CLOSED-FORM "
+    "by Cramer determinants. The d-dimensional production shape is the "
+    "same: distributed gram aggregate (O(groups*d^2) output, never "
+    "O(rows)), tiny solve outside the scan (`operators/vector.py` "
+    "gram_matrix for the Arrow variant). Exactness: integer features, "
+    "every sum and determinant in DECIMAL(38,0)/HUGEINT (determinant "
+    "terms ~(rows*maxval^2)^3 stay < 1e38 through sf0.1; the beyond-"
+    "sf100 path centers features first — documented, not needed for "
+    "the oracle). The ~1e25 determinants exceed 2^53, and int128->double "
+    "casts are NOT correctly rounded in every engine (measured 1-ULP "
+    "divergence), so each coefficient is resolved as an EXACT integral "
+    "micro-cents quotient — round-half-away-from-zero via `(2|p|+q) div "
+    "2q` on the decimals (X'X is positive definite, det>0) — and only "
+    "that small integer (<2^53) is divided by 1e6 in float space, which "
+    "IEEE754 makes bit-identical across engines.",
+    tags=("B11", "B24"),
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)").alias("y"),
+    )
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = s.select(
+        "flag",
+        "n",
+        F.expr(
+            "n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+            " + sx2*(sx1*s12 - s11*sx2)"
+        ).alias("det"),
+        F.expr(
+            "sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+            " + sx2*(s1y*s12 - s11*s2y)"
+        ).alias("det0"),
+        F.expr(
+            "n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+            " + sx2*(sx1*s2y - s1y*sx2)"
+        ).alias("det1"),
+        F.expr(
+            "n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+            " + sy*(sx1*s12 - s11*sx2)"
+        ).alias("det2"),
+    )
+    def coef(det_i: str) -> str:
+        q = "nullif(det, 0)"
+        pos = f"((2*(-{det_i})*1000000 + {q}) div (2*{q}))"
+        neg = f"((2*{det_i}*1000000 + {q}) div (2*{q}))"
+        return f"cast(if({det_i} < 0, -{pos}, {neg}) as double) / 1000000.0"
+
+    return d.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_pts"),
+        F.expr(coef("det0")).alias("b0_cents"),
+        F.expr(coef("det1")).alias("b1_cents"),
+        F.expr(coef("det2")).alias("b2_cents"),
+    ).orderBy("flag")

@@ -1798,3 +1798,108 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "st_rank", "doc_id", "n_chars", "quota")
         .orderBy("lang", "st_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# E1/E2 — dedup cluster resolution: multi-blocking edges -> components
+# --------------------------------------------------------------------------
+@register(
+    "q170_dedup_components",
+    oracle=r"""
+    WITH RECURSIVE toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id,
+               lead(doc_id) OVER (
+                   PARTITION BY array_to_string(toks[1:2], ' ') ORDER BY doc_id
+               ) AS nxt
+        FROM toked
+    ),
+    b AS (
+        SELECT doc_id,
+               lead(doc_id) OVER (
+                   PARTITION BY concat(coalesce(lang, ''), '|',
+                                       coalesce(source, ''), '|',
+                                       CAST(coalesce(n_chars, 0) // 50 AS VARCHAR))
+                   ORDER BY doc_id
+               ) AS nxt
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id AS s, nxt AS t FROM a WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT doc_id, nxt FROM b WHERE nxt IS NOT NULL
+    ),
+    u AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.s, reach.r FROM u JOIN reach ON u.t = reach.node
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    doc="dedup CLUSTER RESOLUTION as a declared query — the step between "
+    "candidate generation and representative-keeping that q47/q62/q75 "
+    "bury inside `drop_non_representatives`: edges from TWO independent "
+    "blocking passes (2-token prefix chains + (lang, source, size-band) "
+    "chains, each a lead() window like q166 — no self-join), resolved "
+    "with `operators/components.connected_components` min-label "
+    "propagation + pointer jumping (Kiveris et al.); isolated docs keep "
+    "their own id via a left join. The oracle replays the exact graph "
+    "with a recursive transitive-closure CTE, so every node's component "
+    "id is hash-checked — the only driver-verdict path for the "
+    "iterative operator every near-dup tier depends on. 100 TB: each "
+    "round is one shuffle-join + agg on node id over the EDGE list "
+    "(candidate pairs << corpus); per-round localCheckpoints truncate "
+    "the iterative lineage; rounds ~ log(diameter) via path halving.",
+    tags=("E1", "E2", "B16"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.components import connected_components
+
+    d = load(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    blk_a = d.select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk")
+    )
+    blk_b = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.col("source"), F.lit("")),
+            F.lit("|"),
+            F.expr("CAST(coalesce(n_chars, 0) div 50 AS STRING)"),
+        ).alias("blk"),
+    )
+
+    def chain(blocked: DataFrame) -> DataFrame:
+        w = Window.partitionBy("blk").orderBy("doc_id")
+        return (
+            blocked.withColumn("nxt", F.lead("doc_id").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col("doc_id").alias("s"), F.col("nxt").alias("t"))
+        )
+
+    comp = connected_components(
+        chain(blk_a).unionByName(chain(blk_b)), src="s", dst="t"
+    )
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("component"),
+        )
+        .orderBy("doc_id")
+    )
