@@ -2411,3 +2411,563 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_median(
         li, "l_returnflag", "l_extendedprice", "wt", band_width=4096.0
     )
+
+
+# --------------------------------------------------------------------------
+# B4/B11/B18 — TPC-H Q3 shape: shipping-priority top-k
+# --------------------------------------------------------------------------
+@register(
+    "q171_tpch_q3_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(18,4)) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): filter+join customer/orders/"
+    "lineitem, revenue per unshipped order, top-10. Joins the Q1 (q10) "
+    "and Q5 (q64/q146) shapes as the third classic composite: selective "
+    "dim filter -> two equi-joins -> high-cardinality group -> top-k. "
+    "Exactness: revenue aggregated AND ORDERED as DECIMAL(18,4) (the "
+    "lossless product scale), cast to double only in the projection, "
+    "l_orderkey tiebreak makes the limit deterministic. 100 TB: both "
+    "filters reach the scans (date pushdown), the o_orderkey join and "
+    "the group share the l_orderkey shuffle key, and the top-10 is a "
+    "TakeOrdered (per-partition heaps) — never a global sort; at SF "
+    "where the filtered customer side stays small AQE broadcasts it.",
+    tags=("B4", "B11", "B18", "B23"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    cutoff = "1997-06-30"
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast(DEC4)
+            .alias("rev_dec")
+        )
+        .orderBy(F.col("rev_dec").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B28/B11/B14 — TPC-H Q18 shape: large-volume customers
+# --------------------------------------------------------------------------
+@register(
+    "q172_tpch_q18_volume",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): a HAVING pre-aggregate "
+    "as an IN-subquery gate, then the customer/orders/lineitem rollup of "
+    "qualifying orders. Exercises agg-as-semi-join-filter — the pattern "
+    "where a grouped predicate prunes a fact join. 100 TB: the "
+    "qualifying-key set is tiny by construction (HAVING > 300 units), so "
+    "Spark broadcasts it into BOTH fact scans (left-semi) before the "
+    "orderkey shuffle; the re-aggregation reuses the same l_orderkey "
+    "key; top-100 is a TakeOrdered. Quantities aggregate in "
+    "DECIMAL(18,2) on both engines; o_totalprice passes through "
+    "untouched (no float arithmetic to diverge).",
+    tags=("B28", "B11", "B14", "B4"),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf, "orders").join(
+        F.broadcast(qual), F.col("o_orderkey") == qual.l_orderkey, "left_semi"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sq"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5/B11 — TPC-H Q13 shape: customer order-count distribution
+# --------------------------------------------------------------------------
+@register(
+    "q174_tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer distribution): LEFT OUTER join with the "
+    "exclusion predicate IN the join condition (customers whose every "
+    "order is urgent must surface with c_count=0 — a WHERE would drop "
+    "them), COUNT(o_orderkey) so NULL-extended rows count as zero, then "
+    "the count-of-counts histogram. The canonical outer-join-aggregate "
+    "composite. 100 TB: the orders-side predicate is applied BEFORE the "
+    "join (filter pushed to the scan — equivalent to the ON-clause "
+    "placement for a left join), the join and first aggregate share the "
+    "custkey shuffle key so AQE reuses the exchange, and the second "
+    "aggregate's domain is |distinct order counts| — trivially small.",
+    tags=("B5", "B11", "B22"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = (
+        load(spark, sf, "orders")
+        .filter(~F.col("o_orderpriority").like("1-%"))
+        .select("o_custkey", "o_orderkey")
+    )
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# B28/B7/B11 — TPC-H Q21 shape: suppliers who alone held up an order
+# --------------------------------------------------------------------------
+@register(
+    "q175_tpch_q21_waiting",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (waiting suppliers): late line items (shipped >60 "
+    "days after order date) in multi-supplier orders where NO other "
+    "supplier was late — the classic EXISTS + NOT-EXISTS double "
+    "correlation. The oracle states it in correlated-subquery form; the "
+    "Spark plan DECORRELATES it into aggregation: one (orderkey,suppkey) "
+    "rollup (any_late, n_late_items), one orderkey rollup (n_supp, "
+    "n_late_supp), filter n_supp>=2 AND n_late_supp=1, re-join, SUM the "
+    "lone late supplier's late-item count — bit-equal to counting "
+    "qualifying l1 rows, with NO self-join of the fact against itself "
+    "twice. 100 TB: lineitem never scans more than twice (once joined "
+    "to orders for lateness, zero EXISTS probes); the two rollups and "
+    "the re-join all shuffle on orderkey-prefixed keys so the exchange "
+    "is reused; supplier join is a broadcast at any SF (dim table); "
+    "top-100 is a TakeOrdered.",
+    tags=("B28", "B7", "B11", "B4"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).cast("int"),
+    )
+    ps = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"),
+        F.sum("late").alias("n_late_items"),
+    )
+    ordstats = (
+        ps.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("any_late").alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    qual = ps.filter(F.col("any_late") == 1).join(
+        ordstats, F.col("l_orderkey") == F.col("q_orderkey")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_items").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# B28/B7 — TPC-H Q22 shape: rich customers with no urgent orders
+# --------------------------------------------------------------------------
+@register(
+    "q176_tpch_q22_dormant",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    ),
+    avgpool AS (
+        SELECT CAST(SUM(bal_cents) AS HUGEINT) AS s,
+               CAST(COUNT(*) AS HUGEINT) AS n
+        FROM pool WHERE bal_cents > 0
+    ),
+    qual AS (
+        SELECT p.c_mktsegment, p.bal_cents
+        FROM pool p, avgpool a
+        WHERE CAST(p.bal_cents AS HUGEINT) * a.n > a.s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = p.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM qual GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (dormant rich customers): segment-filtered "
+    "customers whose balance beats the positive-balance average AND who "
+    "placed no urgent order — scalar-aggregate subquery + anti join. "
+    "Exactness: the average comparison is cleared of float division "
+    "entirely — `bal > sum/n` is evaluated as the exact integer predicate "
+    "`bal*n > sum` in DECIMAL(38,0)/HUGEINT cents (a float average "
+    "differs across engines in the last ULP and can flip boundary rows); "
+    "the output sum is cents (<2^53) divided by 100, bit-identical "
+    "IEEE754. 100 TB: the scalar (sum,n) is a 1-row broadcast cross "
+    "join; the NOT EXISTS is a LEFT ANTI against orders pre-filtered to "
+    "the urgent slice (pushdown before the shuffle); the final aggregate "
+    "is 3 groups.",
+    tags=("B28", "B7", "B11", "B25"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    pool = (
+        load(spark, sf, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    avgpool = pool.filter(F.col("bal_cents") > 0).agg(
+        F.sum(F.col("bal_cents").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    urgent = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    qual = (
+        pool.crossJoin(F.broadcast(avgpool))
+        .filter(F.col("bal_cents").cast("decimal(38,0)") * F.col("n") > F.col("s"))
+        .join(urgent, pool.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return (
+        qual.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents").cast("double") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# B25/B11 — TPC-H Q14 shape: promo revenue share
+# --------------------------------------------------------------------------
+@register(
+    "q177_tpch_q14_promo",
+    oracle="""
+    WITH j AS (
+        SELECT CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+               p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    ),
+    s AS (
+        SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS promo_rev,
+               CAST(CAST(SUM(rev) AS DECIMAL(18,4)) AS DOUBLE) AS total_rev
+        FROM j
+    )
+    SELECT promo_rev, total_rev,
+           100.0 * promo_rev / total_rev AS promo_pct
+    FROM s
+    """,
+    doc="TPC-H Q14 shape (promo effect): revenue share of PROMO-type parts "
+    "within a ship-date window — the conditional-aggregate-ratio "
+    "composite. Exactness: both sums aggregate in DECIMAL(18,4) (the "
+    "lossless product scale) and cast to double only once complete "
+    "(scaled integers < 2^53, so the casts are exact); the percentage is "
+    "computed with the IDENTICAL op tree (100.0 * promo / total) on "
+    "those identical doubles, so IEEE754 makes it bit-equal across "
+    "engines. 100 TB: the date filter reaches the lineitem scan; the "
+    "partkey join is the only shuffle (part broadcasts while it fits; "
+    "sort-merge beyond) and the aggregate is a 1-row total computed "
+    "from map-side partials.",
+    tags=("B25", "B11", "B4", "B23"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    s = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast(DEC4)
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast(DEC4).cast("double").alias("total_rev"),
+        )
+    )
+    return s.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B3/B4 — TPC-H Q19 shape: disjunctive multi-predicate join
+# --------------------------------------------------------------------------
+@register(
+    "q178_tpch_q19_disjunct",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate "
+    "spanning BOTH join sides — the shape that separates engines that "
+    "can only push conjunctions. Catalyst splits the disjunction: the "
+    "part-only slice (brand IN ... AND size ranges) and the "
+    "lineitem-only slice (quantity range union) are derived and pushed "
+    "to EACH scan as partial filters, the residual disjunction is "
+    "evaluated post-join. 100 TB: both scans are pre-pruned (the part "
+    "side to 3 brands), so the partkey join's build side is tiny and "
+    "broadcasts; the final aggregate is a 1-row total from map-side "
+    "partials.",
+    tags=("B3", "B4", "B25"),
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1) - F.col("l_discount").cast(DEC))
+        )
+        .cast(DEC4)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B4/B11 — TPC-H Q7 shape: bilateral nation-pair volume
+# --------------------------------------------------------------------------
+@register(
+    "q179_tpch_q7_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): bilateral trade between two "
+    "nations by ship year — the two-independent-dimension-paths "
+    "composite (supplier->nation and orders->customer->nation chains "
+    "hang off the same fact row, with a cross-path pair predicate). "
+    "100 TB: the 2-row nation filter broadcasts into supplier and "
+    "customer, pruning BOTH to a 2/25 slice before any fact join; the "
+    "fact joins stay fact-first (lineitem always the probe side — the "
+    "q146 lesson) and unhinted, because a nation-filtered customer "
+    "slice is still ~8% of a 10^10-row table and must be free to "
+    "sort-merge; the pair disjunction evaluates on two tiny dim "
+    "columns; the final group (2 pairs x years) aggregates from "
+    "map-side partials.",
+    tags=("B4", "B11", "B23"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast(DEC4)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
