@@ -29,6 +29,90 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # benchmarked separately (tests/test_streaming.py harness).
 SKIP: set[str] = set()
 
+# The round driver records EXACTLY the last 2000 chars of bench.py stdout and
+# json-parses the FINAL line — a longer line loses its head and the round's
+# BENCH artifact parses to null (it happened to rounds 1-2). Budget the line
+# at 1950 to leave newline + cleanup margin.
+LINE_BUDGET = 1950
+
+
+def _compact_secs(v: float) -> float | int:
+    # 1-decimal seconds under 10 s (floored at 0.1 so a fast query never
+    # prints a dead-looking 0.0), integer seconds at >= 10 s. 0.05 s rounding
+    # noise cannot trip the round-over-round regression floor (1.5x AND 0.8 s
+    # absolute); full-precision timings stay on stderr (queries_full).
+    if v >= 9.95:
+        return int(round(v))
+    return max(0.1, round(v, 1))
+
+
+def build_summary_line(
+    timings: dict[str, float],
+    total: float,
+    sf: str,
+    n_errors: int,
+    cdc_eps: float,
+    win_eps: float,
+    sess_eps: float,
+    ssj_eps: float,
+) -> str:
+    """The ONE stdout line the driver tails. Compact by construction (bare
+    query numbers as keys — the 'q' prefix carries no information; no-space
+    separators; streaming events/sec as integers), and degrades GRACEFULLY
+    as the corpus grows instead of silently overflowing the driver tail:
+
+    1. preferred: per-query seconds at 1-decimal resolution;
+    2. if the line would exceed LINE_BUDGET: integer-second per-query values,
+       self-described by ``"coarse":1`` (ceiling ~215 queries);
+    3. if still over: drop the FASTEST queries' entries, self-described by
+       ``"qdrop":k`` (never silent — the count of omitted entries is on the
+       line, and their full-precision timings are on stderr either way).
+
+    cdc/win/ses/ssj = events/sec (CDC pipeline, windowed agg, session
+    windows, stream-stream join — same four figures as the
+    *_events_per_sec keys of BENCH_r01-r05). "corpus_wall_s" ==
+    rounds 1-5's "declared_corpus_wall_clock" metric, renamed in the
+    round-6 line re-compaction.
+    """
+
+    def line_for(compact: dict[str, float | int], extra: dict) -> str:
+        return json.dumps(
+            {
+                "metric": "corpus_wall_s",
+                "value": total,
+                "unit": "sec",
+                "queries": compact,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": len(timings),
+                "cdc": int(round(cdc_eps)),
+                "win": int(round(win_eps)),
+                "ses": int(round(sess_eps)),
+                "ssj": int(round(ssj_eps)),
+                "errs": n_errors,
+                **extra,
+            },
+            separators=(",", ":"),
+        )
+
+    key = lambda n: n.split("_", 1)[0].lstrip("q")  # noqa: E731
+    line = line_for({key(n): _compact_secs(v) for n, v in timings.items()}, {})
+    if len(line) <= LINE_BUDGET:
+        return line
+    coarse = {key(n): int(round(v)) for n, v in timings.items()}
+    line = line_for(coarse, {"coarse": 1})
+    if len(line) <= LINE_BUDGET:
+        return line
+    by_speed = sorted(timings, key=lambda n: (-timings[n], n))
+    for k in range(1, len(by_speed)):
+        kept = by_speed[: len(by_speed) - k]
+        line = line_for(
+            {key(n): int(round(timings[n])) for n in kept},
+            {"coarse": 1, "qdrop": k},
+        )
+        if len(line) <= LINE_BUDGET:
+            return line
+    return line_for({}, {"coarse": 1, "qdrop": len(timings)})
+
 
 def bench_streaming(spark, n_events: int = 20000) -> float:
     """CDC pipeline throughput: replay n_events through the full
@@ -287,19 +371,6 @@ def main() -> None:
     # queries at the round-4 format hit ~1915 of the ~1900-char budget.
     print(json.dumps({"queries_full": timings, "errors": errors}), file=sys.stderr)
 
-    def _compact_secs(v: float) -> float | int:
-        # Round-6 structural re-compaction: 1-decimal seconds under 10 s
-        # (floored at 0.1 so a fast query never prints a dead-looking 0.0),
-        # integer seconds at >= 10 s. The per-query map is the line's ~90%:
-        # at 2-decimal precision the 159-query corpus sat 15 chars from the
-        # driver-tail cliff. 0.05 s rounding noise cannot trip the
-        # round-over-round regression floor (1.5x AND 0.8 s absolute);
-        # full-precision timings stay on stderr (queries_full above).
-        if v >= 9.95:
-            return int(round(v))
-        return max(0.1, round(v, 1))
-
-    compact = {n.split("_", 1)[0].lstrip("q"): _compact_secs(v) for n, v in timings.items()}
     # Streaming throughput: the first replay pays one-time stream-planning +
     # state-store + Python-worker costs that a long-running CDC daemon never
     # re-pays, so warm with a small replay and report the best of N timed
@@ -330,33 +401,8 @@ def main() -> None:
         errors["_stream_stream_join"] = f"{type(e).__name__}: {e}"[:120]
         ssj_eps = 0.0
     print(
-        json.dumps(
-            {
-                # "corpus_wall_s" == rounds 1-5's "declared_corpus_wall_clock"
-                # (renamed in the round-6 line re-compaction)
-                "metric": "corpus_wall_s",
-                "value": total,
-                "unit": "sec",
-                "queries": compact,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # round-6 re-compaction (~100 chars): n = n_queries; the
-                # run's cpu count lives in the driver wrapper already;
-                # cdc/win/ses/ssj = events/sec (CDC pipeline, windowed agg,
-                # session windows, stream-stream join — same four figures
-                # as the *_events_per_sec keys of BENCH_r01-r05 and the
-                # *_evps keys of earlier round-6 builder runs);
-                # errs = n_errors.
-                "n": len(timings),
-                "cdc": cdc_eps,
-                "win": win_eps,
-                "ses": sess_eps,
-                "ssj": ssj_eps,
-                "errs": len(errors),
-                # LAST on purpose: round artifacts keep only the tail of this
-                # line, and this is the one-number round-over-round compare
-                "wall_s": total,
-            },
-            separators=(",", ":"),
+        build_summary_line(
+            timings, total, sf, len(errors), cdc_eps, win_eps, sess_eps, ssj_eps
         )
     )
 

@@ -103,43 +103,48 @@ def test_driver_window_covers_every_operator():
 def test_bench_summary_line_fits_driver_tail_window():
     """The round driver keeps only the last ~2000 chars of bench.py stdout
     and json-parses the final line (rounds 1-2 lost their BENCH artifact to
-    truncation). Reconstruct the worst-case compact summary line for the
-    CURRENT corpus — bare query numbers as keys, 1-decimal values under
-    10 s and integer seconds above (the round-6 structural re-compaction:
-    the whole-corpus bench has run 60-135 s total across six rounds, so a
-    SINGLE query approaching 100 s would be a broken round regardless of
-    line length — 9.9 is the honest per-query worst-case repr, and a
-    10-99 s stray prints SHORTER as an integer), compact separators —
-    PLUS twenty phantom future queries (a full ~17-slot rotation round of
-    additions), and assert it stays under budget: the next round must be
-    able to add queries without re-compacting first (round-4's line sat
-    34 chars from the cliff and round-5's additions went over)."""
+    truncation). bench.build_summary_line now owns the budget with graceful
+    degradation tiers (1-decimal seconds -> integer seconds ["coarse":1] ->
+    drop-fastest ["qdrop":k]); this guard pins three invariants against the
+    REAL builder at the worst-case per-query repr (9.9 — a single query
+    approaching 100 s at sf0.1 would be a broken round regardless of line
+    length, and a 10-99 s stray prints SHORTER as an integer):
+
+    1. hard: the line ALWAYS fits the driver tail, even 60 queries from now;
+    2. quality: a full rotation round of additions (~20 queries) never costs
+       per-query entries (no "qdrop");
+    3. quality: the CURRENT corpus still prints full 1-decimal resolution
+       (no "coarse") — precision degradation is a next-rounds safety valve,
+       not this round's artifact.
+    """
     import json
 
-    compact = {n.split("_", 1)[0].lstrip("q"): 9.9 for n in QUERIES}
-    assert len(compact) == len(QUERIES), "query-number keys must stay unique"
-    for i in range(20):  # phantom headroom: a full rotation round of queries
-        compact[str(900 + i)] = 9.9
-    line = json.dumps(
-        {
-            "metric": "corpus_wall_s",
-            "value": 99999.999,
-            "unit": "sec",
-            "queries": compact,
-            "sf": 0.1,
-            "n": len(compact),
-            "cdc": 99999.9,
-            "win": 99999.9,
-            "ses": 99999.9,
-            "ssj": 99999.9,
-            "errs": 0,
-            "wall_s": 99999.999,
-        },
-        separators=(",", ":"),
+    from bench import LINE_BUDGET, build_summary_line
+
+    def line_for(n_phantom):
+        timings = {n: 9.9 for n in QUERIES}
+        assert len({k.split("_", 1)[0].lstrip("q") for k in timings}) == len(
+            timings
+        ), "query-number keys must stay unique"
+        for i in range(n_phantom):
+            timings[f"q{900 + i}_phantom"] = 9.9
+        return build_summary_line(
+            timings, 99999.999, "0.1", 0, 99999.9, 99999.9, 99999.9, 99999.9
+        )
+
+    for n_phantom in (0, 20, 60):
+        line = line_for(n_phantom)
+        parsed = json.loads(line)
+        assert len(line) < LINE_BUDGET, (
+            f"bench line {len(line)} chars (+{n_phantom} phantoms) risks "
+            "driver truncation"
+        )
+        if n_phantom <= 20:
+            assert "qdrop" not in parsed, (
+                f"per-query entries dropped at only +{n_phantom} phantom "
+                "queries — re-compact the line format"
+            )
+    assert "coarse" not in json.loads(line_for(0)), (
+        "current corpus already degrades to integer seconds — re-compact "
+        "the line format before adding queries"
     )
-    # The driver records EXACTLY the last 2000 chars of stdout (measured:
-    # every BENCH_r0*.json "tail" is len 2000) and json-parses the final
-    # line; the line is the last thing bench.py prints, so line + "\n"
-    # must fit in 2000 -> hard ceiling 1999. 1950 keeps ~50 chars of
-    # margin for platform newline quirks.
-    assert len(line) < 1950, f"bench line {len(line)} chars risks driver truncation"
