@@ -78,23 +78,21 @@ def register(
 #: q128–q131, q133–q139, q141–q143, q145–q147, q150, the round-6
 #: governance tier q152–q163, q164 applyInArrow, q165 incremental
 #: near-dup, q166 sorted-neighborhood blocking, q167 key-skew audit,
-#: q168 per-group OLS, and q169 stratified budget sample — ~47 queries,
-#: roughly two more rounds at ~17 slots (prefer q145 robust stats,
-#: q153 leakage, q154 integrity, q157 profiler, q159 Bradley-Terry
-#: first).
-#: BENCH-LINE BUDGET: the
-#: worst-case compact summary line is guarded by
-#: test_bench_summary_line_fits_driver_tail_window. Round-6
-#: re-compactions (bench.py): streaming/metric keys shortened twice
-#: (cdc/win/ses/ssj), the ceiling corrected to 1950 (the driver tail is
-#: EXACTLY 2000 chars and the line prints last, so line+\n <= 2000 is
-#: the real constraint), and per-query values structurally re-encoded —
-#: 1-decimal seconds under 10 s, integer seconds above (full precision
-#: stays on stderr as queries_full; 0.05 s rounding noise cannot trip
-#: the 1.5x-AND-0.8 s regression floor). At 159 registered queries the
-#: worst-case line with TWENTY guarded phantom slots is ~1867/1950 —
-#: round 7 can add a full ~17-slot rotation of new queries plus ~8 more
-#: before the next re-compaction is due.
+#: q168 per-group OLS, q169 stratified budget sample, and the late
+#: round-6 additions q170 dedup components (the iterative operator's
+#: only oracle path), q171–q179 TPC-H composite shapes (Q3 Q18 Q13 Q21
+#: Q22 Q14 Q19 Q7), and q173 2-feature normal equations — ~57 queries,
+#: roughly three more rounds at ~17 slots (prefer q145 robust stats,
+#: q153 leakage, q154 integrity, q157 profiler, q159 Bradley-Terry,
+#: q170 components, q175 Q21-decorrelation first).
+#: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
+#: driver-tail budget with guarded graceful degradation (1-decimal
+#: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
+#: full precision always on stderr as queries_full);
+#: test_bench_summary_line_fits_driver_tail_window pins that the line
+#: always fits, that a ~20-query rotation round never costs per-query
+#: entries, and that the CURRENT corpus still prints full 1-decimal
+#: resolution (worst-case ~1754/1950 at 179 queries).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
