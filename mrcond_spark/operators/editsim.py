@@ -1,0 +1,126 @@
+"""Exact edit-distance self-join via q-gram prefix filtering (Ed-Join
+family: Xiao, Wang, Lin, "Ed-Join: An Efficient Algorithm for Similarity
+Joins With Edit Distance Constraints", VLDB'08; count-filter foundations
+from Gravano et al., "Approximate String Joins in a Database (Almost) for
+Free", VLDB'01).
+
+The string sibling of the set-similarity tier (``operators/setsim.py``):
+returns EVERY pair of strings within Levenshtein distance ``k`` — no recall
+dial — while never going all-pairs. The pruning chain, all integer-exact:
+
+- *count filter*: one edit destroys at most ``q`` of a string's positional
+  q-grams, so ``ed(s,t) <= k`` implies the gram MULTISETS share at least
+  ``max(|Gs|,|Gt|) - q*k`` elements (grams are occurrence-tagged so set
+  intersection IS multiset intersection);
+- *prefix filter*: order each string's tagged grams by a global total order
+  (ascending corpus frequency, rarest first — hot boilerplate grams sort
+  last and never enter a prefix, capping join-key skew by construction,
+  exactly the setsim lesson); any qualifying pair must then share a gram
+  within the first ``q*k + 1`` of both sides;
+- *length filter*: ``abs(|s| - |t|) <= k`` inside the join condition;
+- *verify*: JVM ``levenshtein`` on the surviving candidates only.
+
+Soundness edge: the prefix theorem needs ``max(|Gs|,|Gt|) >= q*k + 1``.
+Pairs where BOTH strings have at most ``q*k`` grams (length at most
+``q*k + q - 1``, including gram-less strings shorter than ``q``) can share
+zero grams yet still qualify, so those short strings take a separate
+brute-force leg. That leg is scale-safe because its domain is bounded by
+the alphabet (at most ``|alphabet|^(q*k+q-1)`` distinct values at ANY
+corpus size); mixed short-long pairs stay on the prefix path (the long
+side's prefix carries the theorem, the short side's prefix is its whole
+gram set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edit_distance_join(
+    strs: DataFrame,
+    id_col: str = "id",
+    str_col: str = "s",
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) from ``strs`` with levenshtein <= ``k``.
+
+    Returns ``(id_a, id_b, dist)`` with ``dist`` the exact edit distance.
+    NULL strings are treated as empty.
+
+    Plan shape / 100 TB: (1) one (id, gram) window numbers duplicate-gram
+    occurrences (high-cardinality partition key); (2) one (gram) shuffle
+    builds corpus frequencies with map-side partials; (3) one (id) shuffle
+    assembles the frequency-sorted gram array; (4) the candidate equi-join
+    shuffles PREFIX grams only — the q*k+1 rarest per string — with the
+    length gate inside the join condition, so no unqualified pair ever
+    materializes; (5) verify is one JVM levenshtein per candidate, cost
+    tracking |candidates|, not |corpus|^2. The short-string leg cross-joins
+    a bounded-domain slice (see module docstring).
+    """
+    if k < 1 or q < 1:
+        raise ValueError(f"edit_distance_join: k={k} and q={q} must be >= 1")
+    base = strs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(str_col), F.lit("")).alias("s"),
+    ).withColumn("len", F.length("s"))
+    short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
+
+    # --- prefix-filter leg (every string with at least one gram) ---------
+    grams = base.filter(F.col("len") >= q).select(
+        "id",
+        "len",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(s, i, {q}))")
+        ).alias("pos", "gram"),
+    )
+    occ = Window.partitionBy("id", "gram").orderBy("pos")
+    toks = grams.select(
+        "id",
+        "len",
+        F.concat("gram", F.lit("#"), F.row_number().over(occ)).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    ranked = (
+        toks.join(freq, "tok")
+        .groupBy("id", "len")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
+    )
+    plen = F.least(F.lit(q * k + 1), F.size("ord"))
+    prefix = ranked.select(
+        "id",
+        "len",
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])
+        ).alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    # --- short-string brute-force leg (bounded domain, see docstring) ----
+    sa = base.filter(F.col("len") <= short_max).alias("sa")
+    sb = base.filter(F.col("len") <= short_max).alias("sb")
+    short_cand = sa.join(
+        sb,
+        (F.col("sa.id") < F.col("sb.id"))
+        & (F.abs(F.col("sa.len") - F.col("sb.len")) <= k),
+    ).select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+
+    # --- verify ----------------------------------------------------------
+    ca = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    cb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

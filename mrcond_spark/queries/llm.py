@@ -1903,3 +1903,50 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E2/B22 — exact edit-distance join (Ed-Join q-gram prefix filtering)
+# --------------------------------------------------------------------------
+@register(
+    "q180_edit_distance_join",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, substr(coalesce(text, ''), 1, 16) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.s) - length(b.s)) <= 3
+      AND levenshtein(a.s, b.s) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT edit-distance self-join over 16-char document heads "
+    "(levenshtein <= 3) via Ed-Join q-gram prefix filtering "
+    "(`operators/editsim.py`; Xiao et al. VLDB'08). The recall-1 "
+    "complement to q139's heuristic prefix blocking: q139 can MISS pairs "
+    "that differ in their first 12 chars, this operator provably returns "
+    "every qualifying pair — the string sibling of the exact setsim "
+    "(q123) and containment (q144) joins, with the same rare-first "
+    "prefix skew cap. The oracle brute-forces all (length-gated) pairs, "
+    "so the entire pruning chain (occurrence-tagged gram count filter, "
+    "frequency-ordered q*k+1 prefixes, length gate, short-string leg) is "
+    "hash-checked for exactness, not sampled. 100 TB: candidate "
+    "generation shuffles only each string's q*k+1 RAREST grams (hot "
+    "boilerplate grams never enter a prefix), verify is one JVM "
+    "levenshtein per candidate, and the brute-force leg's domain is "
+    "alphabet-bounded.",
+    tags=("E2", "B22", "B26"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.editsim import edit_distance_join
+
+    heads = load(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 16).alias("head"),
+    )
+    return (
+        edit_distance_join(heads, id_col="doc_id", str_col="head", k=3, q=2)
+        .orderBy("id_a", "id_b")
+    )

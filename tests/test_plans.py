@@ -137,6 +137,7 @@ _NONEQUI_OK = {
     "q162_duplication_profile",  # 1-row corpus total broadcast-crossed into the checkpointed size histogram
     "q167_key_skew_audit",  # two 1-row scalar frames (top-k shares, NULL-key count) broadcast-crossed into the 1-row Gini aggregate
     "q176_tpch_q22_dormant",  # 1-row (sum, n) balance scalar broadcast-crossed into the segment pool
+    "q180_edit_distance_join",  # short-string brute-force leg: intentional non-equi join over an alphabet-bounded slice
 }
 
 

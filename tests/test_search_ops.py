@@ -142,3 +142,81 @@ def test_containment_matches_brute_force(spark, t_num, t_den):
         for r in prefix_containment_join(df, "id", "toks", t_num, t_den).collect()
     }
     assert got == brute_force_containment(sets, t_num, t_den)
+
+
+# --- exact edit-distance join (operators/editsim.py) ------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_edit_pairs(strs: dict[int, str], k: int):
+    return {
+        (a, b): _lev(strs[a], strs[b])
+        for a, b in itertools.combinations(sorted(strs), 2)
+        if _lev(strs[a], strs[b]) <= k
+    }
+
+
+@pytest.mark.parametrize("k,q", [(1, 2), (2, 2), (3, 2), (2, 3)])
+def test_edit_distance_join_matches_brute_force(spark, k, q):
+    """Randomized recall/precision check: the Ed-Join prefix-filtered join
+    must return EXACTLY the brute-force pair set at the threshold — the
+    q-gram count/prefix theorems promise recall 1, the levenshtein verify
+    precision 1. The generator plants edits of every kind (substitution,
+    insert, delete, multi-edit) plus repeated-gram strings (the
+    occurrence-tagging edge) and short strings (the brute-force-leg edge,
+    incl. empty and len<q)."""
+    from mrcond_spark.operators.editsim import edit_distance_join
+
+    rng = random.Random(17)
+    alpha = "abcd"
+    strs: dict[int, str] = {}
+    for i in range(35):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        strs[i] = s
+        if i % 3 == 0 and s:
+            m = list(s)
+            for _ in range(rng.randint(1, k)):
+                op = rng.random()
+                p = rng.randrange(len(m)) if m else 0
+                if op < 0.34 and m:
+                    m[p] = rng.choice(alpha)
+                elif op < 0.67:
+                    m.insert(p, rng.choice(alpha))
+                elif m:
+                    m.pop(p)
+            strs[1000 + i] = "".join(m)
+    strs[2000] = "abababab"  # repeated grams: occurrence-tag edge
+    strs[2001] = "bababab"
+    df = spark.createDataFrame(list(strs.items()), "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s", k=k, q=q).collect()
+    }
+    assert got == _brute_edit_pairs(strs, k)
+
+
+def test_edit_distance_join_null_and_empty(spark):
+    """NULL strings are treated as empty; empty-empty pairs at distance 0
+    survive the short-string leg."""
+    from mrcond_spark.operators.editsim import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "abcdefgh")],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s", k=2, q=2).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
