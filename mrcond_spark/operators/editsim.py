@@ -33,7 +33,7 @@ gram set).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,8 +49,9 @@ def edit_distance_join(
     Returns ``(id_a, id_b, dist)`` with ``dist`` the exact edit distance.
     NULL strings are treated as empty.
 
-    Plan shape / 100 TB: (1) one (id, gram) window numbers duplicate-gram
-    occurrences (high-cardinality partition key); (2) one (gram) shuffle
+    Plan shape / 100 TB: (1) occurrence tagging is a narrow ARRAY-side
+    expression (no exchange; O(len^2) JVM compares per row, len is a short
+    join key of 16-80 chars, not a document); (2) one (gram) shuffle
     builds corpus frequencies with map-side partials; (3) one (id) shuffle
     assembles the frequency-sorted gram array; (4) the candidate equi-join
     shuffles PREFIX grams only — the q*k+1 rarest per string — with the
@@ -68,18 +69,22 @@ def edit_distance_join(
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
 
     # --- prefix-filter leg (every string with at least one gram) ---------
-    grams = base.filter(F.col("len") >= q).select(
+    # occurrence numbering is computed ARRAY-SIDE per row (count equal grams
+    # at or before each position): O(len^2) substring compares inside one
+    # JVM expression beat a (id, gram) row_number window — the tagging needs
+    # no exchange at all, and len is a short join key (16-80 chars), not a
+    # document
+    toks = base.filter(F.col("len") >= q).select(
         "id",
         "len",
-        F.posexplode(
-            F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(s, i, {q}))")
-        ).alias("pos", "gram"),
-    )
-    occ = Window.partitionBy("id", "gram").orderBy("pos")
-    toks = grams.select(
-        "id",
-        "len",
-        F.concat("gram", F.lit("#"), F.row_number().over(occ)).alias("tok"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, len - {q} + 1),"
+                f" i -> concat(substring(s, i, {q}), '#',"
+                f"   size(filter(sequence(1, i),"
+                f"        j -> substring(s, j, {q}) = substring(s, i, {q})))))"
+            )
+        ).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     ranked = (

@@ -1950,3 +1950,92 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         edit_distance_join(heads, id_col="doc_id", str_col="head", k=3, q=2)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# E5/E1 — corpus-global repeated n-gram span profile (ExactSubstr prep)
+# --------------------------------------------------------------------------
+@register(
+    "q181_repeated_spans",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM toked, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ),
+    f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COALESCE(COUNT(*) FILTER (f.c >= 4), 0) AS BIGINT) AS n_rep
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_rep, 0) AS n_rep,
+           COALESCE((10000 * p.n_rep) // p.n_grams, 0) AS rep_bp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="corpus-global repeated-span profile: per document, how many of its "
+    "word 3-gram positions belong to a gram occurring >= 4 times ACROSS "
+    "the corpus — the marking pass of substring-level dedup (Lee et al., "
+    "'Deduplicating Training Data Makes Language Models Better', ACL'22: "
+    "ExactSubstr removes such spans rather than whole documents). "
+    "Distinct from q105 (novelty vs EARLIER docs only), q89 (intra-doc "
+    "repetition) and q162 (whole-doc dup clusters): this is the "
+    "corpus-frequency span signal. The ratio is integer basis points "
+    "(10000*n div n) — no float boundary. 100 TB: one (gram) shuffle "
+    "builds corpus counts with map-side partials, the count join back is "
+    "per-gram (hot grams match ONE frequency row — AQE skew-split "
+    "territory, the q86/q114 pattern), the per-doc rollup shuffles "
+    "doc_id, and short docs survive via the left join, never a lost row.",
+    tags=("E5", "E1", "B26"),
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    g = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat_ws(' ', slice(tk, i, 3)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    f = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("c") >= 4).cast("bigint")).alias("n_rep"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_rep", F.lit(0)).alias("n_rep"),
+            F.coalesce(
+                F.expr("(10000 * n_rep) div n_grams"), F.lit(0)
+            ).alias("rep_bp"),
+        )
+        .orderBy("doc_id")
+    )
