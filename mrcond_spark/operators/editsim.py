@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import materialize_once
+
 
 def edit_distance_join(
     strs: DataFrame,
@@ -62,10 +64,19 @@ def edit_distance_join(
     """
     if k < 1 or q < 1:
         raise ValueError(f"edit_distance_join: k={k} and q={q} must be >= 1")
-    base = strs.select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.col(str_col), F.lit("")).alias("s"),
-    ).withColumn("len", F.length("s"))
+    # (id, s, len) feeds SIX plan branches (gram path x2, short leg x2,
+    # verify x2); without a materialization point each branch re-reads the
+    # upstream source — 8 corpus scans of the text column measured in the
+    # executed plan. Lazy localCheckpoint: one read at first action, the
+    # branches then share the (id + short-key)-narrow blocks; no
+    # construction-time job.
+    base = materialize_once(
+        strs.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(str_col), F.lit("")).alias("s"),
+        ).withColumn("len", F.length("s")),
+        eager=False,
+    )
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
 
     # --- prefix-filter leg (every string with at least one gram) ---------

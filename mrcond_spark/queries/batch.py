@@ -2626,16 +2626,18 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     "days after order date) in multi-supplier orders where NO other "
     "supplier was late — the classic EXISTS + NOT-EXISTS double "
     "correlation. The oracle states it in correlated-subquery form; the "
-    "Spark plan DECORRELATES it into aggregation: one (orderkey,suppkey) "
-    "rollup (any_late, n_late_items), one orderkey rollup (n_supp, "
-    "n_late_supp), filter n_supp>=2 AND n_late_supp=1, re-join, SUM the "
-    "lone late supplier's late-item count — bit-equal to counting "
-    "qualifying l1 rows, with NO self-join of the fact against itself "
-    "twice. 100 TB: lineitem never scans more than twice (once joined "
-    "to orders for lateness, zero EXISTS probes); the two rollups and "
-    "the re-join all shuffle on orderkey-prefixed keys so the exchange "
-    "is reused; supplier join is a broadcast at any SF (dim table); "
-    "top-100 is a TakeOrdered.",
+    "Spark plan DECORRELATES it into a single pass: one (orderkey,"
+    "suppkey) rollup (any_late, n_late_items), then the order-level "
+    "gates (n_supp>=2, n_late_supp=1) as UNBOUNDED WINDOW aggregates "
+    "over the orderkey partition — bit-equal to counting qualifying l1 "
+    "rows. The first draft computed the order gates as a second "
+    "aggregate re-joined to the rollup; per-branch column pruning made "
+    "the two exchanges non-identical, ReuseExchange missed, and the "
+    "FACT JOIN RAN TWICE (seen in the executed plan) — the window form "
+    "scans lineitem exactly once. 100 TB: one fact join (orderkey), one "
+    "(orderkey,suppkey) rollup, one orderkey window (high-cardinality "
+    "partition key, never O(1) groups); supplier join is a broadcast at "
+    "any SF (dim table); top-100 is a TakeOrdered.",
     tags=("B28", "B7", "B11", "B4"),
 )
 def q175(spark: SparkSession, sf: str) -> DataFrame:
@@ -2652,17 +2654,15 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         F.max("late").alias("any_late"),
         F.sum("late").alias("n_late_items"),
     )
-    ordstats = (
-        ps.groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("any_late").alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        ps.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("any_late").over(w))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .select(F.col("l_orderkey").alias("q_orderkey"))
-    )
-    qual = ps.filter(F.col("any_late") == 1).join(
-        ordstats, F.col("l_orderkey") == F.col("q_orderkey")
     )
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
