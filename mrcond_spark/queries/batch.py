@@ -1775,30 +1775,42 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     "click within 3 days AFTER that view, earliest purchase within 3 days "
     "AFTER that click (window sized so the synthetic data populates all "
     "three stages); users "
-    "bucketed by deepest stage reached. Three aggregation passes all keyed "
-    "on user_id — co-partitioned, so after the first hash exchange the "
-    "chained joins and aggs reuse the same distribution (Catalyst reuses "
-    "compatible hash partitioning; no re-shuffle per stage); strict "
+    "bucketed by deepest stage reached. One BASE pass (conditional min "
+    "gives every user and their first view in the same aggregate), then "
+    "one pruned slice pass per later stage — the sequential-dependency "
+    "minimum of three fact scans without per-user buffering; the naive "
+    "chained form re-derived tv inside tc inside tb for SEVEN scans in "
+    "the executed plan, so the stage frontiers are lazily checkpointed. "
+    "All passes keyed on user_id (co-partitioned joins and aggs); strict "
     "ts-ordering makes the sequencing deterministic and hash-checkable",
     tags=("B11", "B23"),
 )
 def q94(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    u = ev.select("user_id").distinct()
-    tv = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
+    from ..operators import materialize_once
+
+    # ONE base pass gives every user AND their first view (u and tv were
+    # separate scans before); lazy checkpoints stop the sequential stages
+    # from re-deriving each other's subtrees — the naive chaining re-ran
+    # tv inside tc inside tb for SEVEN events scans in the executed plan,
+    # this shape runs exactly three (full pass + click slice + purchase
+    # slice, the sequential-dependency minimum without per-user buffering)
+    base = materialize_once(
+        ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv")
+        ),
+        eager=False,
     )
-    tc = (
+    tc = materialize_once(
         ev.filter(F.col("event_type") == "click")
-        .join(tv, "user_id")
+        .join(base.filter(F.col("tv").isNotNull()), "user_id")
         .filter(
             (F.col("ts") > F.col("tv"))
             & (F.unix_micros("ts") - F.unix_micros("tv") <= 259_200_000_000)
         )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
+        .agg(F.min("ts").alias("tc")),
+        eager=False,
     )
     tb = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1817,8 +1829,7 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(0)
     )
     return (
-        u.join(tv, "user_id", "left")
-        .join(tc, "user_id", "left")
+        base.join(tc, "user_id", "left")
         .join(tb, "user_id", "left")
         .select(stage.cast("int").alias("stage"))
         .groupBy("stage")
