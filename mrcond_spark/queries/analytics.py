@@ -1798,3 +1798,106 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(coef("det1")).alias("b1_cents"),
         F.expr(coef("det2")).alias("b2_cents"),
     ).orderBy("flag")
+
+
+# --------------------------------------------------------------------------
+# deterministic Poisson bootstrap: per-group variance of the mean
+# --------------------------------------------------------------------------
+@register(
+    "q182_bootstrap_variance",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS x,
+               CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR) AS key
+        FROM lineitem
+    ),
+    reps AS (
+        SELECT flag, x, b,
+               CAST(('0x' || substr(md5('seed182:' || key || ':'
+                        || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS w
+        FROM pts, UNNEST(range(0, 16)) AS r(b)
+    ),
+    per_rep AS (
+        SELECT flag, b,
+               CAST(SUM(w * x) AS HUGEINT) // CAST(SUM(w) AS HUGEINT) AS m
+        FROM reps GROUP BY flag, b
+    ),
+    s AS (
+        SELECT flag,
+               CAST(COUNT(*) AS HUGEINT) AS nb,
+               CAST(SUM(m) AS HUGEINT) AS sm,
+               CAST(SUM(m * m) AS HUGEINT) AS smm
+        FROM per_rep GROUP BY flag
+    )
+    SELECT flag,
+           CAST(nb AS INT) AS n_reps,
+           CAST(sm // nb AS BIGINT) AS boot_mean_cents,
+           CAST((nb * smm - sm * sm) // (nb * (nb - 1)) AS BIGINT)
+               AS boot_var_cents2
+    FROM s ORDER BY flag
+    """,
+    doc="per-returnflag POISSON BOOTSTRAP of the mean price (B=16 "
+    "replicates): each row enters replicate b with weight md5(id,b) mod 3 "
+    "in {0,1,2} (mean 1 — the Poisson(1) bootstrap's integer-deterministic "
+    "stand-in), per-replicate weighted means and the across-replicate "
+    "variance estimate the sampling error of the group mean WITHOUT "
+    "re-reading the data B times — the standard distributed-bootstrap "
+    "formulation (Kleiner et al.'s bag-of-little-bootstraps lineage; "
+    "Poisson weights in place of multinomial resampling because row "
+    "independence is what makes it one-pass). Exactness end-to-end: "
+    "md5-derived weights reproduce bit-identically on any engine/retry "
+    "(the q140 convention), per-replicate means are integral-division "
+    "cents, the variance is the integer sufficient-stats form "
+    "(B*Sum(m^2) - (Sum m)^2) // (B(B-1)) in DECIMAL(38,0)/HUGEINT — no "
+    "float anywhere, no RNG anywhere. 100 TB: the explode is a narrow "
+    "16x map-side expansion feeding ONE (flag, b) hash aggregate with "
+    "map-side partials (48 groups), then a 3-group rollup; nothing "
+    "buffers rows, nothing depends on partitioning.",
+    tags=("B11", "B24", "B31"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)").alias("x"),
+        F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("key"),
+    )
+    reps = li.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("seed182"), F.col("key"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    ).cast("decimal(38,0)")
+    per_rep = (
+        reps.groupBy("flag", "b")
+        .agg(
+            F.sum(w * F.col("x")).alias("swx"),
+            F.sum(w).alias("sw"),
+        )
+        .select("flag", "b", F.expr("swx div sw").alias("m"))
+    )
+    s = per_rep.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nb"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,0)")).alias("smm"),
+    )
+    return s.select(
+        "flag",
+        F.col("nb").cast("int").alias("n_reps"),
+        F.expr("sm div nb").alias("boot_mean_cents"),
+        F.expr("(nb * smm - sm * sm) div (nb * (nb - 1))").alias("boot_var_cents2"),
+    ).orderBy("flag")

@@ -149,7 +149,13 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("count") >= 2) & (F.col("count") <= MAX_BLOCK))
         .select("lang", "blk")
     )
-    c = n.join(g, ["lang", "blk"])
+    # c feeds BOTH sides of the within-block self-join; without a
+    # materialization point each side re-derives it (4 scans of the text
+    # column in the executed plan). Lazy checkpoint: the gated candidate
+    # set (<= |blocks| x MAX_BLOCK rows of 80-char heads) computes once.
+    from ..operators import materialize_once
+
+    c = materialize_once(n.join(g, ["lang", "blk"]), eager=False)
     a = c.select(
         F.col("doc_id").alias("id_a"), "lang", "blk", F.col("head").alias("head_a")
     )
