@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def moment_stats(
@@ -107,4 +108,87 @@ def robust_stats(
         )
         .select(*group_cols, "n", "p05", "p95", "med", "win_mean", "mad")
         .orderBy(*group_cols)
+    )
+
+
+def mann_whitney_u_x2(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    band_width: int,
+) -> DataFrame:
+    """Per-group Mann-Whitney rank-sum statistic, DOUBLED to stay integer.
+
+    ``side_col`` is a boolean column (True = sample A); ``value_col`` must
+    be integer-typed and non-NULL (exact band math and exact midranks).
+    Returns one row per group: ``(group_col, n_a, n_b, u_a_x2)`` where
+    ``u_a_x2 = 2*U_A`` — midranks of ties are half-integers, so doubling
+    keeps every quantity in BIGINT with no float boundary anywhere. The
+    classic distribution-free two-sample location test (Mann & Whitney
+    1947): under H0 the expectation of u_a_x2 is n_a*n_b, and callers with
+    large samples can normalize downstream (kept out of this operator: the
+    z-score needs a sqrt, and libm does not reproduce across engines).
+
+    Plan shape / 100 TB — the q151 two-level banded-window idiom applied
+    to MIDRANKS: per-group midranks are a running count over DISTINCT
+    values, and ``SUM() OVER (PARTITION BY group ORDER BY v)`` with O(1)
+    groups would be a corpus-sized single task. Instead: (1) one
+    (group, value) hash aggregate collapses rows to distinct values
+    (cnt_a, cnt); (2) within-band running counts window on
+    (group, band = v div band_width) — parallelism = |groups| x |bands|;
+    (3) band offsets come from a |groups x bands|-row aggregate whose
+    per-group window touches only metadata-sized input, broadcast back;
+    (4) per-value contributions (cnt_a * (2*less + cnt + 1) = the A rows'
+    doubled midrank mass at that value) fold into one final group
+    aggregate. Fully lazy, no construction job.
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(side_col).cast("boolean").alias("is_a"),
+        F.col(value_col).alias("v"),
+    )
+    vals = pts.groupBy("g", "v").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.count(F.lit(1)).alias("c"),
+    ).withColumn("band", F.expr(f"v div {int(band_width)}"))
+    w_in = (
+        Window.partitionBy("g", "band")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    banded = vals.select("g", "band", "v", "ca", "c", F.sum("c").over(w_in).alias("cum_in"))
+    band_tot = vals.groupBy("g", "band").agg(F.sum("c").alias("bt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = band_tot.select(
+        "g", "band", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
+    )
+    contrib = banded.join(F.broadcast(offs), ["g", "band"]).select(
+        "g",
+        "ca",
+        "c",
+        (F.col("off") + F.col("cum_in") - F.col("c")).alias("less"),
+    )
+    return (
+        contrib.groupBy("g")
+        .agg(
+            F.sum("ca").cast("bigint").alias("n_a"),
+            F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n_b"),
+            F.sum(
+                F.col("ca") * (2 * F.col("less") + F.col("c") + 1)
+            ).alias("two_ra"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_a",
+            "n_b",
+            (F.col("two_ra") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .alias("u_a_x2"),
+        )
+        .orderBy(group_col)
     )

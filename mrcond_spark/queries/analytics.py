@@ -1901,3 +1901,65 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("sm div nb").alias("boot_mean_cents"),
         F.expr("(nb * smm - sm * sm) div (nb * (nb - 1))").alias("boot_var_cents2"),
     ).orderBy("flag")
+
+
+# --------------------------------------------------------------------------
+# distribution-free two-sample drift test (Mann-Whitney rank sum)
+# --------------------------------------------------------------------------
+@register(
+    "q183_rank_sum_drift",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               (l_returnflag = 'A') AS is_a
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    r AS (
+        SELECT ship_year, is_a,
+               RANK() OVER (PARTITION BY ship_year ORDER BY v) AS rmin,
+               COUNT(*) OVER (PARTITION BY ship_year, v) AS c
+        FROM pts
+    )
+    SELECT ship_year,
+           CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN is_a THEN 2*rmin + c - 1 ELSE 0 END)
+                - COUNT(*) FILTER (is_a)
+                  * (COUNT(*) FILTER (is_a) + 1) AS BIGINT) AS u_a_x2
+    FROM r GROUP BY ship_year ORDER BY ship_year
+    """,
+    doc="Mann-Whitney rank-sum test per ship year: are 'A'-flag line item "
+    "prices distributed differently from 'R'-flag ones? The classic "
+    "distribution-free two-sample drift test — the robust alternative to "
+    "the parametric z/t gates (q115, q141's KL needs binning; this needs "
+    "only an order). Statistic DOUBLED (u_a_x2 = 2*U_A) so tie midranks "
+    "stay integer — every quantity is exact BIGINT, no float boundary; "
+    "under H0 its expectation is n_a*n_b (the z normalization needs a "
+    "sqrt and is left to callers — libm does not reproduce across "
+    "engines). The oracle computes midranks with a plain corpus-wide "
+    "RANK() window; the Spark side "
+    "(`operators/stats.mann_whitney_u_x2`) must NOT (7 year keys = "
+    "corpus/7-row single-task windows), so it applies the q151 two-level "
+    "banded idiom to midranks: distinct-value collapse, within-band "
+    "running counts at |years| x |bands| parallelism, metadata-sized "
+    "band-offset window broadcast back — the decorrelation itself is "
+    "hash-checked.",
+    tags=("B11", "B15", "B24"),
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.stats import mann_whitney_u_x2
+
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            (F.col("l_returnflag") == "A").alias("is_a"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+        )
+    )
+    return mann_whitney_u_x2(
+        li, group_col="ship_year", side_col="is_a", value_col="v",
+        band_width=65536,
+    )

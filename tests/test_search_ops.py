@@ -220,3 +220,57 @@ def test_edit_distance_join_null_and_empty(spark):
         for r in edit_distance_join(df, "id", "s", k=2, q=2).collect()
     }
     assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+# --- Mann-Whitney rank-sum (operators/stats.py) ------------------------------
+
+
+def _brute_u_x2(rows):
+    """rows: list of (group, is_a, v) -> {group: (n_a, n_b, 2*U_A)} via
+    sorted midranks — the textbook scan."""
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, is_a, v in rows:
+        by_g[g].append((is_a, v))
+    out = {}
+    for g, pts in by_g.items():
+        vs = sorted(p[1] for p in pts)
+        # doubled midrank per value: 2*rank_min + count - 1
+        first = {}
+        cnt = {}
+        for i, v in enumerate(vs, 1):
+            first.setdefault(v, i)
+            cnt[v] = cnt.get(v, 0) + 1
+        two_ra = sum(
+            2 * first[v] + cnt[v] - 1 for is_a, v in pts if is_a
+        )
+        n_a = sum(1 for is_a, _ in pts if is_a)
+        n_b = len(pts) - n_a
+        out[g] = (n_a, n_b, two_ra - n_a * (n_a + 1))
+    return out
+
+
+@pytest.mark.parametrize("band_width", [1, 3, 100])
+def test_mann_whitney_matches_brute_force(spark, band_width):
+    """The banded-window decorrelation must reproduce textbook sorted
+    midranks exactly at any band width — heavy ties, negative values,
+    one-sided groups, and a band width of 1 (every value its own band)
+    all included."""
+    from mrcond_spark.operators.stats import mann_whitney_u_x2
+
+    rng = random.Random(99)
+    rows = []
+    for g in ["g1", "g2", "g3"]:
+        for _ in range(rng.randint(5, 60)):
+            rows.append((g, rng.random() < 0.5, rng.randint(-20, 20)))
+    rows.append(("only_a", True, 5))  # one-sided group: U_A = 0
+    df = spark.createDataFrame(rows, "g string, is_a boolean, v long")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u_a_x2"])
+        for r in mann_whitney_u_x2(
+            df, group_col="g", side_col="is_a", value_col="v",
+            band_width=band_width,
+        ).collect()
+    }
+    assert got == _brute_u_x2(rows)
