@@ -192,3 +192,92 @@ def mann_whitney_u_x2(
         )
         .orderBy(group_col)
     )
+
+
+def ks_d_numerator(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    band_width: int,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic as an EXACT integer.
+
+    ``D = max_v |F_A(v) - F_B(v)|`` compares the two empirical CDFs; this
+    returns its integer numerator ``d_num = max_v |cumA(v)*n_b -
+    cumB(v)*n_a|`` so that ``D = d_num / (n_a * n_b)`` — no float division
+    inside the operator, no boundary ambiguity (callers doing the
+    Kolmogorov tail bound need an exp(); libm stays out for the same
+    reason as ``mann_whitney_u_x2``'s z-score). ``side_col`` boolean
+    (True = sample A), ``value_col`` integer non-NULL. Returns
+    ``(group_col, n_a, n_b, d_num)``.
+
+    The CDF difference is piecewise constant and changes only AT observed
+    values, so scanning distinct values suffices. Running counts use the
+    same two-level banded decomposition as ``mann_whitney_u_x2`` (a plain
+    per-group ordered window would single-task the corpus when groups are
+    O(1)): per-(group, band) running counts of BOTH sides, band offsets
+    and group totals from the metadata-sized (group, band) aggregate,
+    broadcast back, one final max aggregate. d_num grows as n^2 — BIGINT
+    through ~10^9 rows per group side; the internal product is computed
+    in DECIMAL(38,0) so larger groups saturate the cast, not silently
+    wrap.
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(side_col).cast("boolean").alias("is_a"),
+        F.col(value_col).alias("v"),
+    )
+    vals = pts.groupBy("g", "v").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    ).withColumn("band", F.expr(f"v div {int(band_width)}"))
+    w_in = (
+        Window.partitionBy("g", "band")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    banded = vals.select(
+        "g",
+        "band",
+        "v",
+        F.sum("ca").over(w_in).alias("ca_in"),
+        F.sum("cb").over(w_in).alias("cb_in"),
+    )
+    band_tot = vals.groupBy("g", "band").agg(
+        F.sum("ca").alias("bta"), F.sum("cb").alias("btb")
+    )
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_g = Window.partitionBy("g")
+    offs = band_tot.select(
+        "g",
+        "band",
+        F.coalesce(F.sum("bta").over(w_off), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("btb").over(w_off), F.lit(0)).alias("offb"),
+        F.sum("bta").over(w_g).alias("na"),
+        F.sum("btb").over(w_g).alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    cum = banded.join(F.broadcast(offs), ["g", "band"]).select(
+        "g",
+        "na",
+        "nb",
+        F.abs(
+            (F.col("offa") + F.col("ca_in")).cast(dec) * F.col("nb").cast(dec)
+            - (F.col("offb") + F.col("cb_in")).cast(dec) * F.col("na").cast(dec)
+        ).alias("dev"),
+    )
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.max("dev").cast("bigint").alias("d_num"),
+        )
+        .select(F.col("g").alias(group_col), "n_a", "n_b", "d_num")
+        .orderBy(group_col)
+    )

@@ -1972,3 +1972,138 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
         li, group_col="ship_year", side_col="is_a", value_col="v",
         band_width=65536,
     )
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift statistic (exact integer numerator)
+# --------------------------------------------------------------------------
+@register(
+    "q184_ks_drift",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               (l_returnflag = 'A') AS is_a
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    vals AS (
+        SELECT ship_year, v,
+               CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS ca,
+               CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS cb
+        FROM pts GROUP BY ship_year, v
+    ),
+    c AS (
+        SELECT ship_year,
+               SUM(ca) OVER (PARTITION BY ship_year ORDER BY v) AS cuma,
+               SUM(cb) OVER (PARTITION BY ship_year ORDER BY v) AS cumb,
+               SUM(ca) OVER (PARTITION BY ship_year) AS na,
+               SUM(cb) OVER (PARTITION BY ship_year) AS nb
+        FROM vals
+    )
+    SELECT ship_year,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(MAX(ABS(CAST(cuma AS HUGEINT) * nb
+                        - CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num
+    FROM c GROUP BY ship_year, na, nb ORDER BY ship_year
+    """,
+    doc="two-sample Kolmogorov-Smirnov drift statistic per ship year ('A' "
+    "vs 'R' line item prices): D = max CDF gap, reported as the EXACT "
+    "integer numerator d_num = max|cumA*n_b - cumB*n_a| so D = "
+    "d_num/(n_a*n_b) with no float division or libm inside the engine "
+    "(the Kolmogorov tail bound needs an exp() and is callers' "
+    "downstream). Complements q183's rank-sum (location shift) with the "
+    "any-shape-difference test — together the distribution-free drift "
+    "pair every data-quality gate wants. The CDF gap changes only at "
+    "observed values, so distinct values suffice; the oracle uses plain "
+    "per-year ordered windows, the Spark side "
+    "(`operators/stats.ks_d_numerator`) must not (7 year keys = "
+    "corpus-sized single-task windows) and applies the two-level banded "
+    "running-count idiom to BOTH sides' cumulative counts at |years| x "
+    "|bands| parallelism — the decorrelation is hash-checked.",
+    tags=("B11", "B15", "B24"),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.stats import ks_d_numerator
+
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            (F.col("l_returnflag") == "A").alias("is_a"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+        )
+    )
+    return ks_d_numerator(
+        li, group_col="ship_year", side_col="is_a", value_col="v",
+        band_width=65536,
+    )
+
+
+# --------------------------------------------------------------------------
+# session path analytics: event-type transition matrix
+# --------------------------------------------------------------------------
+@register(
+    "q185_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (
+        SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+        FROM t GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n_trans,
+           CAST((10000 * t.n_trans) // tot.row_total AS BIGINT) AS p_bp
+    FROM t JOIN tot USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    doc="per-user event-type transition matrix (Markov path analytics): "
+    "each user's event sequence ordered by (ts, event_id — unique "
+    "tiebreak, deterministic), consecutive pairs via lead(), transition "
+    "counts and row-conditional probabilities in integer basis points "
+    "(10000*n div row_total — no float boundary). The sequence-analytics "
+    "complement to the funnel (q94: fixed 3-stage order) and "
+    "sessionization (q63: gap cutting): this is the full first-order "
+    "path structure product teams diff between releases. 100 TB: ONE "
+    "shuffle — the per-user window partitions on user_id "
+    "(high-cardinality); the pair aggregate collapses to at most "
+    "|event_types|^2 rows before the row-total join, so everything "
+    "after the window is metadata-sized.",
+    tags=("B15", "B16", "B23"),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.expr("(10000 * n_trans) div row_total").alias("p_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -274,3 +274,36 @@ def test_mann_whitney_matches_brute_force(spark, band_width):
         ).collect()
     }
     assert got == _brute_u_x2(rows)
+
+
+def test_ks_d_numerator_matches_brute_force(spark):
+    """The banded two-sided running counts must reproduce the textbook
+    max-CDF-gap numerator exactly — ties, negatives, one-sided groups."""
+    from mrcond_spark.operators.stats import ks_d_numerator
+
+    rng = random.Random(123)
+    rows = []
+    for g in ["g1", "g2"]:
+        for _ in range(rng.randint(10, 80)):
+            rows.append((g, rng.random() < 0.4, rng.randint(-15, 15)))
+    rows.append(("only_b", False, 7))
+    df = spark.createDataFrame(rows, "g string, is_a boolean, v long")
+
+    def brute(g):
+        pts = [(a, v) for gg, a, v in rows if gg == g]
+        na = sum(1 for a, _ in pts if a)
+        nb = len(pts) - na
+        best = 0
+        for t in sorted({v for _, v in pts}):
+            cuma = sum(1 for a, v in pts if a and v <= t)
+            cumb = sum(1 for a, v in pts if not a and v <= t)
+            best = max(best, abs(cuma * nb - cumb * na))
+        return (na, nb, best)
+
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["d_num"])
+        for r in ks_d_numerator(
+            df, group_col="g", side_col="is_a", value_col="v", band_width=4
+        ).collect()
+    }
+    assert got == {g: brute(g) for g in ["g1", "g2", "only_b"]}
