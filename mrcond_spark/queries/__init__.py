@@ -92,7 +92,10 @@ def register(
 #: test_bench_summary_line_fits_driver_tail_window pins that the line
 #: always fits, that a ~20-query rotation round never costs per-query
 #: entries, and that the CURRENT corpus still prints full 1-decimal
-#: resolution (worst-case ~1754/1950 at 179 queries).
+#: resolution (worst-case ~1844/1950 at the final 179-query corpus —
+#: q182 bootstrap, q183 rank-sum, q184 KS drift, and q185 transitions
+#: joined the round-7 rotation pool after the sf0.1 sweep ran, each
+#: individually sf0.1-hash-verified instead).
 PRIORITY: tuple[str, ...] = (
     # flagship first (also the entry() query)
     "q10_agg_tpch_q1",        # B11 hash agg
