@@ -55,36 +55,34 @@ def register(
 #:
 #: ROTATION (round-3 judge directive): ~33 operator representatives stay
 #: fixed; the remaining slots rotate each round through queries that lack
-#: a GREEN driver hash verdict. Verdict ledger after round 5
-#: (CORRECTNESS_r01..r05): every oracle-bearing query registered through
-#: round 4 has a driver verdict on record, but for SEVEN of them the only
-#: verdict on record is a round-1 FAIL — q59 q63 q64 q65 q66 q71 q77,
-#: all red in CORRECTNESS_r01 from the systemic DECIMAL-rendering bug,
-#: fixed since (guarded by test_no_decimal_output_in_oracle_queries) and
-#: builder-green, but never re-attested by the driver. Round 6 rotates IN
-#: seventeen, reds first (round-5 judge directive): the seven
-#: red-on-record queries above, then the ten highest-value round-5
-#: operators still builder-attested only — q123 setsim join, q144
-#: containment join, q127 embedding covariance, q132 k-core, q112
-#: PageRank, q118 DSIR weights, q119 Bloom prejoin, q140 A-ES weighted
-#: sample, q148 MERGE upsert, q151 weighted median (3-key window fixed
-#: this round). Rotated OUT seventeen, every one with a green driver
-#: verdict in CORRECTNESS_r05 and every affected operator keeping an
-#: in-window representative: the sixteen round-5 slots (q80 q86 q89 q93
-#: q94 q95 q96 q97 q98 q99 q100 q101 q102 q103 q104 q105) plus
-#: q48_simhash_pairs (E2 keeps THREE in-window reps: q47 q123 q144).
-#: Remaining round-7 rotation pool (oracle-bearing, builder-green, no
-#: driver verdict yet): q106–q111, q113–q117, q120–q122, q124–q126,
-#: q128–q131, q133–q139, q141–q143, q145–q147, q150, the round-6
-#: governance tier q152–q163, q164 applyInArrow, q165 incremental
-#: near-dup, q166 sorted-neighborhood blocking, q167 key-skew audit,
-#: q168 per-group OLS, q169 stratified budget sample, and the late
-#: round-6 additions q170 dedup components (the iterative operator's
-#: only oracle path), q171–q179 TPC-H composite shapes (Q3 Q18 Q13 Q21
-#: Q22 Q14 Q19 Q7), and q173 2-feature normal equations — ~57 queries,
-#: roughly three more rounds at ~17 slots (prefer q145 robust stats,
-#: q153 leakage, q154 integrity, q157 profiler, q159 Bradley-Terry,
-#: q170 components, q175 Q21-decorrelation first).
+#: a GREEN driver hash verdict. Round-6 window: 49/49 oracle-checkable
+#: rows green (q32 ``no_oracle`` by design) — first-ever green driver
+#: verdicts for the seven round-1 reds (q59 q63 q64 q65 q66 q71 q77) and
+#: the ten round-5 flagships (q112 q118 q119 q123 q127 q132 q140 q144
+#: q148 q151); zero red-on-record rows remain anywhere in the ledger.
+#: Round 7 rotates those seventeen OUT (all driver-green in
+#: CORRECTNESS_r06, every affected operator keeping an in-window
+#: representative) and rotates IN the round-6 judge's priority list with
+#: one substitution: q145 robust stats (the cleared r5 perf-weak), q153
+#: leakage, q154 integrity, q157 profiler, q159 Bradley-Terry, q170
+#: dedup components (the iterative operator's only oracle path), q175
+#: TPC-H Q21 decorrelation, q165 incremental near-dup, q166
+#: sorted-neighborhood (hot-block guard coded this round), q167 key-skew
+#: audit, q180 Ed-Join (short-string leg bounded this round), q182
+#: bootstrap, q184 KS drift, q146 TPC-H Q5, q106 moments, q114 inverted
+#: index, and q177 TPC-H Q14 IN PLACE OF the suggested q125 BM25 —
+#: q177 is the only pool query carrying both B23 and B25, whose ONLY
+#: in-window representatives (q59/q63/q71 for B23; q65/q66/q148 for
+#: B25) all rotate out this round, while E5/B18 (q125's tags) keep
+#: multiple green reps either way.
+#: Remaining round-8 rotation pool (oracle-bearing, builder-green, no
+#: driver verdict yet): q107–q111, q113, q115–q117, q120–q122,
+#: q124–q126, q128–q131, q133–q139, q141–q143, q147, q150, the
+#: governance remainder q152 q155 q156 q158 q160–q163, q164
+#: applyInArrow, q168 per-group OLS, q169 stratified budget sample,
+#: q171–q174, q176, q178–q179 TPC-H composites, q181 repeated spans,
+#: q183 rank-sum, q185 transitions — ~52 queries, two-to-three more
+#: rounds at ~17 slots.
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -135,26 +133,25 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-6 rotation slots: the seven red-on-record queries first (their
-    # only driver verdict is a round-1 FAIL; fixed since, re-attest them)
-    "q59_time_rollup",        # B13/B23
-    "q63_batch_sessionize",   # B15/B16/B23
-    "q64_tpch_q5_shape",      # B4/B11 fact-first join order
-    "q65_pivot",              # B11/B25
-    "q66_unpivot",            # B11/B25
-    "q71_range_frame",        # B16/B23
-    "q77_ntile_deciles",      # B15 distributed NTILE
-    # ...then first-ever driver verdicts for the round-5 flagship operators
-    "q123_setsim_join",       # E2/B26 exact AllPairs/PPJoin set-similarity
-    "q144_containment_join",  # E2/B26 exact containment (prefix-probe)
-    "q127_embedding_covariance",  # E3/E4/B26/B11 exact DECIMAL co-moments
-    "q132_kcore",             # B4/B11/E5 fixed-round k-core peel
-    "q112_nation_pagerank",   # B4/B11/E5 DECIMAL-exact PageRank rounds
-    "q118_importance_weights",  # E5/B31 DSIR importance weights
-    "q119_bloom_prejoin",     # B3/B4 Bloom pre-join pruning
-    "q140_weighted_sample",   # B31/E5/B18 deterministic A-ES sample
-    "q148_merge_upsert",      # B5/B25 MERGE-style CDC upsert
-    "q151_weighted_median",   # B11/B16/B24 banded two-level window (fixed r6)
+    # round-7 rotation slots (round-6 judge priority list; q177 subs for
+    # q125 to keep B23+B25 in-window — see ROTATION note above)
+    "q145_robust_stats",      # B11/B24 winsorized stats (r5 perf-weak, fixed r6)
+    "q153_split_leakage",     # E2/E5 train/test leakage audit on the LSH plan
+    "q154_referential_integrity",  # B7/B19 orphan audit via anti-join UNION
+    "q157_column_profiler",   # B11/B12/B24/B26 stack-to-long profiler
+    "q159_bradley_terry",     # B4/B11/E5 MM fixed rounds on the win matrix
+    "q170_dedup_components",  # E1/E2/B16 connected components (iterative oracle)
+    "q175_tpch_q21_waiting",  # B28/B7/B11/B4 decorrelated EXISTS/NOT EXISTS
+    "q165_incremental_near_dup",  # E2/E1 new-batch-vs-index band probe
+    "q166_sorted_neighborhood",   # E2/B16 SNM blocking (hot-block guard, r7)
+    "q167_key_skew_audit",    # B11/B15/B24/E5 Gini via cutpoint-bucketed rank
+    "q180_edit_distance_join",  # E2/B22/B26 Ed-Join (short leg bounded, r7)
+    "q182_bootstrap_variance",  # B11/B24/B31 Poisson bootstrap
+    "q184_ks_drift",          # B11/B15/B24 exact KS via banded running counts
+    "q146_tpch_q5",           # B3/B4/B11 full TPC-H Q5
+    "q106_stats_moments",     # B11/B24 skew/kurtosis co-moments
+    "q114_inverted_index",    # E5/B11/B26 posting-list build
+    "q177_tpch_q14_promo",    # B25/B11/B4/B23 — sole B23+B25 window rep
 )
 
 
