@@ -303,6 +303,92 @@ def bench_stream_stream_join(spark, n_events_per_side: int = 50_000) -> float:
     )
 
 
+def _load_expected(names: list[str]) -> dict[str, float]:
+    """Builder-recorded per-query times (bench_expected.json, committed per
+    round from a clean builder run). Used ONLY to prioritize re-timing order
+    in passes 2+ — a missing/stale file degrades to observed-time ordering,
+    never to a wrong artifact. Queries absent from the file get the corpus
+    median so a new query is neither starved nor over-prioritized."""
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_EXPECTED",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_expected.json"),
+    )
+    try:
+        with open(path) as f:
+            raw = {str(k): float(v) for k, v in json.load(f).items()}
+    except Exception:  # noqa: BLE001 — missing/corrupt file is a soft miss
+        raw = {}
+    known = [v for n, v in raw.items() if n in names and v > 0]
+    med = sorted(known)[len(known) // 2] if known else 1.0
+    return {n: raw.get(n, med) if raw.get(n, med) > 0 else med for n in names}
+
+
+def bench_batch_corpus(
+    spark, queries, names: list[str], budget_s: float
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Corpus timing loop, storm-robust by construction (round-6 lesson:
+    at 179 queries one full pass on a storming host ate the whole budget,
+    so every recorded number was single-pass — exactly the stall-window
+    noise the min-of-N design exists to cancel, and BENCH_r06 landed 2.12x
+    round 5 with unchanged plans).
+
+    - Pass 1 times the full corpus once (unavoidable floor).
+    - Passes 2..4 are TARGETED: queries re-time in descending suspicion
+      order, suspicion = observed_min / builder-expected time
+      (bench_expected.json), so a 0.6 s query recorded at 6 s in a host
+      stall window gets its decorrelated second sample FIRST, minutes
+      later, instead of never. Genuinely expensive queries sort high too
+      (their absolute noise dominates the total), which is the right
+      tie-break. Budget is checked per-query, so the harness still never
+      outruns a caller's timeout; min-of-passes semantics unchanged.
+    """
+    expected = _load_expected(names)
+    t0 = time.perf_counter()
+    timings: dict[str, float] = dict.fromkeys(names, float("inf"))
+    errors: dict[str, str] = {}
+
+    def time_one(name: str) -> None:
+        q0 = time.perf_counter()
+        # one broken query must not cost the round its whole BENCH
+        # artifact — record the failure and keep timing the rest. A query
+        # is "errored" only while NO pass has produced a timing: a later
+        # success clears an earlier error, and a later failure does not
+        # taint an earlier success (either way n_queries + n_errors
+        # stays exactly the corpus size).
+        try:
+            queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            if timings[name] == float("inf"):
+                errors[name] = f"{type(e).__name__}: {e}"[:120]
+            return
+        timings[name] = min(timings[name], time.perf_counter() - q0)
+        errors.pop(name, None)
+
+    for name in names:  # pass 1: full corpus, registry order
+        time_one(name)
+    for _pass in range(2, 5):  # passes 2-4: suspicion-ordered, budget-aware
+        order = sorted(
+            (n for n in names if timings[n] != float("inf")),
+            key=lambda n: (-timings[n] / expected[n], n),
+        )
+        if not order or time.perf_counter() - t0 > budget_s:
+            break
+        for name in order:
+            if time.perf_counter() - t0 > budget_s:
+                break
+            time_one(name)
+    # unresolved-spike diagnostic (stderr only): anything still >3x its
+    # builder-expected time after all passes deserves a human look.
+    spikes = {
+        n: [round(timings[n], 2), expected[n]]
+        for n in names
+        if timings[n] != float("inf") and timings[n] > max(3 * expected[n], expected[n] + 2)
+    }
+    if spikes:
+        print(json.dumps({"unresolved_spikes": spikes}), file=sys.stderr)
+    return {n: round(v, 3) for n, v in timings.items() if v != float("inf")}, errors
+
+
 def main() -> None:
     spark = get_spark("mrcond-bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     queries = all_queries()
@@ -325,39 +411,47 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
 
-    # min over three FULL passes of the corpus (not back-to-back runs per
-    # query): the driver records one number, and this host shows intermittent
-    # multi-second stall windows — back-to-back runs land in the same window,
-    # while passes separated by minutes decorrelate, so the min is a much
-    # better estimate of the plan's true cost (round-4: single q56 runs
-    # swung 3-8 s across stall windows; a third pass materially tightens the
-    # min). A soft wall-clock budget degrades gracefully to fewer passes if
-    # the host is storming, so the harness never outruns a caller's timeout.
+    # Streaming throughput FIRST (round-6 lesson: it used to run last, in
+    # the end-of-budget storm tail, and all four r6 figures landed ~0.63x
+    # the r5 records with unchanged streaming code). The first replay pays
+    # one-time stream-planning + state-store + Python-worker costs that a
+    # long-running CDC daemon never re-pays, so warm with a small replay
+    # and report the best of N timed runs (round-1 lesson: a single cold
+    # run under-reported ~5x).
+    stream_errors: dict[str, str] = {}
+    try:
+        bench_streaming(spark, n_events=2000)
+        cdc_eps = max(bench_streaming(spark) for _ in range(3))
+    except Exception as e:  # noqa: BLE001 — same artifact-preservation rule
+        stream_errors["_cdc_stream"] = f"{type(e).__name__}: {e}"[:120]
+        cdc_eps = 0.0
+    try:
+        bench_windowed_stream(spark, n_events=10_000)
+        win_eps = max(bench_windowed_stream(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        stream_errors["_windowed_stream"] = f"{type(e).__name__}: {e}"[:120]
+        win_eps = 0.0
+    try:
+        bench_session_stream(spark, n_events=10_000)  # warm state-store path
+        sess_eps = max(bench_session_stream(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        stream_errors["_session_stream"] = f"{type(e).__name__}: {e}"[:120]
+        sess_eps = 0.0
+    try:
+        bench_stream_stream_join(spark, n_events_per_side=5_000)  # warm
+        ssj_eps = max(bench_stream_stream_join(spark) for _ in range(2))
+    except Exception as e:  # noqa: BLE001
+        stream_errors["_stream_stream_join"] = f"{type(e).__name__}: {e}"[:120]
+        ssj_eps = 0.0
+
+    # Batch corpus: pass 1 full, passes 2+ targeted by suspicion (see
+    # bench_batch_corpus). The soft budget governs the batch loop only,
+    # measured from ITS start, so the streaming phase above never starves
+    # the batch passes or vice versa.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
-    bench_t0 = time.perf_counter()
     names = [n for n in sorted(queries) if n not in SKIP]
-    timings: dict[str, float] = dict.fromkeys(names, float("inf"))
-    errors: dict[str, str] = {}
-    for _pass in range(3):
-        for name in names:
-            if _pass > 0 and time.perf_counter() - bench_t0 > budget_s:
-                break  # keep pass-1 numbers for the rest
-            t0 = time.perf_counter()
-            # one broken query must not cost the round its whole BENCH
-            # artifact — record the failure and keep timing the rest. A query
-            # is "errored" only while NO pass has produced a timing: a later
-            # success clears an earlier error, and a later failure does not
-            # taint an earlier success (either way n_queries + n_errors
-            # stays exactly the corpus size).
-            try:
-                queries[name].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            except Exception as e:  # noqa: BLE001
-                if timings[name] == float("inf"):
-                    errors[name] = f"{type(e).__name__}: {e}"[:120]
-                continue
-            timings[name] = min(timings[name], time.perf_counter() - t0)
-            errors.pop(name, None)
-    timings = {n: round(v, 3) for n, v in timings.items() if v != float("inf")}
+    timings, errors = bench_batch_corpus(spark, queries, names, budget_s)
+    errors.update(stream_errors)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -370,36 +464,6 @@ def main() -> None:
     # and compact JSON separators (no spaces). Round-5 re-compaction: 96+
     # queries at the round-4 format hit ~1915 of the ~1900-char budget.
     print(json.dumps({"queries_full": timings, "errors": errors}), file=sys.stderr)
-
-    # Streaming throughput: the first replay pays one-time stream-planning +
-    # state-store + Python-worker costs that a long-running CDC daemon never
-    # re-pays, so warm with a small replay and report the best of N timed
-    # runs (round-1 lesson: a single cold run under-reported ~5x; warm
-    # min-of-N measured 6.6-10.4k ev/s on this host).
-    try:
-        bench_streaming(spark, n_events=2000)
-        cdc_eps = max(bench_streaming(spark) for _ in range(3))
-    except Exception as e:  # noqa: BLE001 — same artifact-preservation rule
-        errors["_cdc_stream"] = f"{type(e).__name__}: {e}"[:120]
-        cdc_eps = 0.0
-    try:
-        bench_windowed_stream(spark, n_events=10_000)
-        win_eps = max(bench_windowed_stream(spark) for _ in range(2))
-    except Exception as e:  # noqa: BLE001
-        errors["_windowed_stream"] = f"{type(e).__name__}: {e}"[:120]
-        win_eps = 0.0
-    try:
-        bench_session_stream(spark, n_events=10_000)  # warm state-store path
-        sess_eps = max(bench_session_stream(spark) for _ in range(2))
-    except Exception as e:  # noqa: BLE001
-        errors["_session_stream"] = f"{type(e).__name__}: {e}"[:120]
-        sess_eps = 0.0
-    try:
-        bench_stream_stream_join(spark, n_events_per_side=5_000)  # warm
-        ssj_eps = max(bench_stream_stream_join(spark) for _ in range(2))
-    except Exception as e:  # noqa: BLE001
-        errors["_stream_stream_join"] = f"{type(e).__name__}: {e}"[:120]
-        ssj_eps = 0.0
     print(
         build_summary_line(
             timings, total, sf, len(errors), cdc_eps, win_eps, sess_eps, ssj_eps
