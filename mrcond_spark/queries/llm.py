@@ -1678,17 +1678,20 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     "neighbors via lead() (no self-join), verify with exact unigram "
     "Jaccard in basis points. Complements the LSH (q47), SimHash (q62) and "
     "edit-distance blocking (q139) candidate generators with the classic "
-    "sort-based one. 100 TB: the single shuffle is the hash partition on "
-    "the content-derived block key, whose cardinality grows with vocab^2 "
+    "sort-based one. 100 TB: the single data shuffle is the hash partition "
+    "on the content-derived block key, whose cardinality grows with vocab^2 "
     "(never O(1) like a lang/source key); neighbor pairs come from lead() "
     "windows inside each block, so candidate count is exactly w*n and no "
-    "join materializes beyond it; a pathological hot block (shared "
-    "boilerplate prefix) is handled by lengthening the prefix or salting "
-    "the hot key (q116 idiom).",
+    "join materializes beyond it. A pathological hot block (shared "
+    "boilerplate prefix) is bounded BY THE OPERATOR (operators/snm.py, "
+    "round-7): blocks over max_block_rows re-key on the 4-token prefix and "
+    "salt deterministically if still hot, so no window partition ever "
+    "exceeds ~cap rows; the guard's when() never fires below the cap, so "
+    "this oracle needs no hot-block clause.",
     tags=("E2", "B16"),
 )
 def q166(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from mrcond_spark.operators.snm import sorted_neighborhood_pairs
 
     d = load(spark, sf, "documents")
     toks = F.filter(
@@ -1701,34 +1704,31 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     keyed = d.select(
         "doc_id",
         F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("blk4"),
         F.concat_ws(" ", toks).alias("nt"),
         F.array_distinct(toks).alias("td"),
     )
-    w = Window.partitionBy("blk").orderBy("nt", "doc_id")
-    nbr = keyed.select(
-        "doc_id",
-        "td",
-        F.lead("doc_id", 1).over(w).alias("id1"),
-        F.lead("td", 1).over(w).alias("td1"),
-        F.lead("doc_id", 2).over(w).alias("id2"),
-        F.lead("td", 2).over(w).alias("td2"),
+    pairs = sorted_neighborhood_pairs(
+        keyed,
+        id_col="doc_id",
+        sort_col="nt",
+        block_col="blk",
+        w=2,
+        extend_cols=("blk4",),
+        payload_cols=("td",),
     )
-
-    def pairs(idc: str, tdc: str, dv: int) -> DataFrame:
-        return nbr.filter(F.col(idc).isNotNull()).select(
-            F.col("doc_id").alias("id_a"),
-            F.col(idc).alias("id_b"),
-            F.lit(dv).cast("bigint").alias("d"),
-            F.floor(
-                10000
-                * F.size(F.array_intersect("td", tdc))
-                / F.greatest(F.size(F.array_union("td", tdc)), F.lit(1))
-            )
-            .cast("bigint")
-            .alias("jaccard_bp"),
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "d",
+        F.floor(
+            10000
+            * F.size(F.array_intersect("td_a", "td_b"))
+            / F.greatest(F.size(F.array_union("td_a", "td_b")), F.lit(1))
         )
-
-    return pairs("id1", "td1", 1).unionByName(pairs("id2", "td2", 2)).orderBy("id_a", "id_b", "d")
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    ).orderBy("id_a", "id_b", "d")
 
 
 # --------------------------------------------------------------------------
