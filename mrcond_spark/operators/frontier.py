@@ -77,22 +77,30 @@ def skyline_2d(
         .agg(F.max(gain_col).alias("__gmax"))
         .withColumn("__bk", bucket)
     )
-    totals = per.groupBy("__bk").agg(F.max("__gmax").alias("__m")).collect()
+    # The bounded-collect contract: one row per bucket. A near-distinct
+    # bucket expression would silently turn this into a data-sized driver
+    # collect and a plan-bloating literal map — so the JOB ITSELF is
+    # bounded with limit(cap + 1) and the overflow rejected loudly
+    # (round-6 ADVICE: a post-hoc len() check fires only after the
+    # unbounded collect has already pulled every bucket to the driver).
+    totals = (
+        per.groupBy("__bk")
+        .agg(F.max("__gmax").alias("__m"))
+        .limit(MAX_BUCKETS + 1)
+        .collect()
+    )
+    if len(totals) > MAX_BUCKETS:
+        raise ValueError(
+            f"skyline_2d: bucket expression produced more than "
+            f"{MAX_BUCKETS} buckets; coarsen the bucket function — it must "
+            "be a bounded, order-aligned split of the cost domain, not a "
+            "near-distinct key"
+        )
     if any(r["__bk"] is None for r in totals):
         raise ValueError(
             f"skyline_2d: bucket expression over {cost_col!r} produced NULL; "
             "a NULL cost/bucket has no defined position in the frontier "
             "order — filter it first"
-        )
-    # The bounded-collect contract: one row per bucket. A near-distinct
-    # bucket expression would silently turn this into a data-sized driver
-    # collect and a plan-bloating literal map — reject it loudly instead.
-    if len(totals) > MAX_BUCKETS:
-        raise ValueError(
-            f"skyline_2d: bucket expression produced {len(totals)} buckets "
-            f"(cap {MAX_BUCKETS}); coarsen the bucket function — it must "
-            "be a bounded, order-aligned split of the cost domain, not a "
-            "near-distinct key"
         )
     # strictly-before-this-bucket running max, folded driver-side (bounded:
     # one row per bucket) into plan literals

@@ -138,9 +138,13 @@ def grouped_hash_rank(
        no cutpoint sketch needed;
     2. within-band ``row_number`` windowed on (groups..., band) —
        parallelism = |groups| x 16^band_chars;
-    3. band offsets from a (groups..., band) count aggregate — a
-       metadata-sized frame whose per-group cumulative window is cheap —
-       broadcast-joined back; rank = offset + within-band row_number.
+    3. band offsets from a (groups..., band) count aggregate — up to
+       |groups| x 16^band_chars rows — joined back WITHOUT a broadcast
+       hint; rank = offset + within-band row_number. AQE picks broadcast
+       at runtime from the frame's ACTUAL size (round-6 ADVICE: an
+       explicit hint bypasses autoBroadcastJoinThreshold, and a caller
+       like stratified_sample_exact at its documented 100k-strata cap
+       makes offs ~25.6M rows — an OOM, not metadata).
 
     ``hash_col`` must be a non-NULL fixed-width lowercase-hex string
     (e.g. ``F.md5(...)``); ``group_cols`` + ``hash_col`` + ``tiebreak_cols``
@@ -166,7 +170,7 @@ def grouped_hash_rank(
         )
     )
     return (
-        local.join(F.broadcast(offs), [*group_cols, "__band"])
+        local.join(offs, [*group_cols, "__band"])
         .withColumn(out_col, (F.col("__boff") + F.col("__brn")).cast("bigint"))
         .drop("__band", "__brn", "__boff")
     )

@@ -77,18 +77,22 @@ def stratified_sample_exact(
     """
     from .ntile import grouped_hash_rank
 
+    # limit(cap + 1) bounds the DRIVER PULL itself (round-6 ADVICE: a
+    # post-hoc len() check fires only after a near-distinct stratum
+    # expression has already collected data-sized counts to the driver).
     counts = (
         df.groupBy(F.col(stratum_col).cast("string").alias("__s"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(MAX_STRATA + 1)
         .collect()
     )
-    if any(r["__s"] is None for r in counts):
-        raise ValueError("stratified_sample_exact: NULL stratum values")
     if len(counts) > MAX_STRATA:
         raise ValueError(
-            f"stratified_sample_exact: {len(counts)} strata exceed the "
-            f"{MAX_STRATA} literal-map/collect cap"
+            f"stratified_sample_exact: more than {MAX_STRATA} strata "
+            "exceed the literal-map/collect cap"
         )
+    if any(r["__s"] is None for r in counts):
+        raise ValueError("stratified_sample_exact: NULL stratum values")
     n_by_s = {r["__s"]: r["n"] for r in counts}
     total = sum(n_by_s.values())
     k_eff = min(k, total)

@@ -76,7 +76,16 @@ def robust_stats(
     DECIMAL(38,18) summation) and the MAD. Two scans of ``df``, all
     shuffles keyed on ``group_cols``. Tolerance-tested against each other
     in tests/test_robust_stats.py.
+
+    NULL ``value_col`` rows are dropped up front (round-6 ADVICE): the
+    percentile aggregates skip NULLs but ``count(*)`` would include them
+    and the NULL-skipping least/greatest would clamp a NULL value to p95
+    inside the winsorized sum — n, win_mean and the quantiles would
+    silently disagree about the population. Dropping makes every output
+    column describe the same non-NULL population, matching the
+    weighted_median convention.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     if exact:
         def pct(p: float, order_expr: str):
             return F.expr(
@@ -220,8 +229,10 @@ def ks_d_numerator(
     and group totals from the metadata-sized (group, band) aggregate,
     broadcast back, one final max aggregate. d_num grows as n^2 — BIGINT
     through ~10^9 rows per group side; the internal product is computed
-    in DECIMAL(38,0) so larger groups saturate the cast, not silently
-    wrap.
+    in DECIMAL(38,0), and a d_num beyond BIGINT range raises loudly at
+    the output cast (round-6 ADVICE: Spark's non-ANSI decimal-to-bigint
+    cast would otherwise return a silent NULL for group sides beyond
+    ~3e9 rows, not saturate).
     """
     pts = df.select(
         F.col(group_col).alias("g"),
@@ -271,13 +282,27 @@ def ks_d_numerator(
             - (F.col("offb") + F.col("cb_in")).cast(dec) * F.col("na").cast(dec)
         ).alias("dev"),
     )
+    bigint_max = F.lit("9223372036854775807").cast(dec)
     return (
         cum.groupBy("g")
         .agg(
             F.max("na").cast("bigint").alias("n_a"),
             F.max("nb").cast("bigint").alias("n_b"),
-            F.max("dev").cast("bigint").alias("d_num"),
+            F.max("dev").alias("__dev"),
         )
-        .select(F.col("g").alias(group_col), "n_a", "n_b", "d_num")
+        .select(
+            F.col("g").alias(group_col),
+            "n_a",
+            "n_b",
+            F.when(F.col("__dev") <= bigint_max, F.col("__dev").cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "raise_error('ks_d_numerator: d_num exceeds BIGINT"
+                    " (group sides beyond ~3e9 rows) — widen the output to"
+                    " DECIMAL before normalizing')"
+                ).cast("bigint")
+            )
+            .alias("d_num"),
+        )
         .orderBy(group_col)
     )

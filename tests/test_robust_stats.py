@@ -81,3 +81,19 @@ def test_approx_schema_matches_exact(spark, sf_dir):
     e = robust_stats(li, cols, "l_extendedprice", exact=True)
     a = robust_stats(li, cols, "l_extendedprice", exact=False, accuracy=100)
     assert e.schema == a.schema
+
+
+def test_null_values_dropped_consistently(spark):
+    """Round-6 ADVICE: NULL value rows must not let n / win_mean / the
+    quantiles disagree about the population — the operator drops them up
+    front, so every output column describes the same non-NULL rows (a NULL
+    would otherwise clamp to p95 via NULL-skipping least/greatest while
+    count(*) still counted it)."""
+    rows = [("g", float(v)) for v in range(1, 21)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = robust_stats(df, ["grp"], "v", exact=True).collect()[0]
+    want = robust_stats(
+        df.filter(F.col("v").isNotNull()), ["grp"], "v", exact=True
+    ).collect()[0]
+    assert got["n"] == 20  # NULLs excluded from the population count
+    assert got.asDict() == want.asDict()
