@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import materialize_once
+from . import ensure_parallelism, materialize_once
 
 
 def _short_value_pairs(short_rows: DataFrame, k: int) -> DataFrame:
@@ -91,11 +91,16 @@ def edit_distance_join(
     # executed plan. Lazy localCheckpoint: one read at first action, the
     # branches then share the (id + short-key)-narrow blocks; no
     # construction-time job.
+    # ensure_parallelism: the occurrence tagging below is O(len^2) JVM
+    # compares per row — a per-row-heavy stage that must not inherit a
+    # single-split local scan (no-op on real multi-split inputs).
     base = materialize_once(
-        strs.select(
-            F.col(id_col).alias("id"),
-            F.coalesce(F.col(str_col), F.lit("")).alias("s"),
-        ).withColumn("len", F.length("s")),
+        ensure_parallelism(
+            strs.select(
+                F.col(id_col).alias("id"),
+                F.coalesce(F.col(str_col), F.lit("")).alias("s"),
+            ).withColumn("len", F.length("s"))
+        ),
         eager=False,
     )
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1

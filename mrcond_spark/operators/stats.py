@@ -44,6 +44,67 @@ def moment_stats(
     return s.select(*key_cols, "n", mu.alias("mu"), F.sqrt(var).alias("sd"))
 
 
+def _banded_running_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    cnt_col: str,
+    band_width: float,
+) -> DataFrame:
+    """Per-row exact running count ``__cw`` and group total ``__tw`` over a
+    weighted value frame, with every data-sized stage distributed.
+
+    The two-level banded idiom from ``operators/weighted.py``: a plain
+    ``SUM(cnt) OVER (PARTITION BY g ORDER BY v)`` puts a whole group in one
+    window task; banding on ``floor(v / band_width)`` (monotonic in ``v``)
+    splits each group into |bands| independent window partitions, and the
+    per-band offsets come from a |groups x bands|-row aggregate broadcast
+    back. Duplicate ``value_col`` rows are safe: tied rows may accumulate
+    in either order, but every consumer selects by VALUE at a count gate,
+    and all orderings agree on the smallest value whose cumulative count
+    clears a threshold.
+    """
+    li = counts.withColumn(
+        "__band",
+        F.floor(F.col(value_col) / F.lit(float(band_width))).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy(*group_cols, "__band")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    banded = li.select(
+        *group_cols, "__band", value_col,
+        F.sum(cnt_col).over(w_in).alias("__cw_in"),
+    )
+    band_tot = li.groupBy(*group_cols, "__band").agg(F.sum(cnt_col).alias("__bt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_g = Window.partitionBy(*group_cols)
+    offs = band_tot.select(
+        *group_cols,
+        "__band",
+        F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bt").over(w_g).alias("__tw"),
+    )
+    return banded.join(F.broadcast(offs), [*group_cols, "__band"]).select(
+        *group_cols,
+        value_col,
+        (F.col("__off") + F.col("__cw_in")).alias("__cw"),
+        "__tw",
+    )
+
+
+#: percentile_disc thresholds as exact rationals: smallest stored value whose
+#: cumulative count ``cw`` satisfies ``cw * den >= num * n`` — the integer
+#: form of ``cume_dist >= p`` (verified against DuckDB's percentile_disc on
+#: tied/untied multisets of both parities).
+_DISC_GATES: dict[str, tuple[int, int]] = {"p05": (1, 20), "p95": (19, 20), "med": (1, 2)}
+
+
 def robust_stats(
     df: DataFrame,
     group_cols: list[str],
@@ -51,31 +112,53 @@ def robust_stats(
     *,
     exact: bool = True,
     accuracy: int = 10_000,
+    band_width: float | None = None,
+    collapse_values: bool = True,
 ) -> DataFrame:
     """Per-group robust center/spread: ``(n, p05, p95, med, win_mean, mad)``
     — 5/95 winsorized mean and the median absolute deviation (the q145
     shape, exposed as a reusable operator).
 
-    Two interchangeable percentile backends, same output schema:
+    Two interchangeable percentile backends, same output schema, and
+    NEITHER buffers group members in aggregation state:
 
-    - ``exact=True``: ``percentile_disc`` — selects stored values, exact
-      and cross-engine bit-stable, but the aggregation state buffers EVERY
-      group member's value, so group granularity is the memory/parallelism
-      knob (fine up to ~10^8-row groups; the declared q145 oracle route).
+    - ``exact=True``: banded running-count selection. The frame collapses
+      to ``(group, value, count)`` (one map-side-combinable shuffle), and
+      each ``percentile_disc`` quantile is the smallest stored value whose
+      exact running count clears an integer gate (``cw * den >= num * n``
+      — the integer form of ``cume_dist >= p``, verified against DuckDB on
+      tied multisets of both parities). Running counts use the two-level
+      banded window from ``operators/weighted.py``, so parallelism is
+      |groups| x |bands| and per-task state is one band of DISTINCT
+      values — the exact path no longer needs a value-buffering
+      ``percentile_disc`` aggregate, which capped the old route at
+      ~10^8-row groups. The MAD reruns the same selection over
+      ``abs(value - med)`` with the same multiplicities. Bit-identical to
+      the ``percentile_disc`` definition the DuckDB oracle runs.
     - ``exact=False``: ``approx_percentile`` — Greenwald-Khanna sketch with
       rank error <= 1/accuracy and O(accuracy * log n) state per group,
-      map-side mergeable like any partial aggregate. This is the 100 TB
-      path: petabyte-scale groups never buffer their members, at the cost
-      of a bounded rank error on the three quantiles (and hence a bounded
-      perturbation of the clip points feeding ``win_mean`` / the MAD
-      pivot). ``approx_percentile`` also selects a stored value, so output
-      types match the exact route exactly.
+      map-side mergeable like any partial aggregate — the cheap screening
+      path, at the cost of a bounded rank error on the three quantiles
+      (and hence a bounded perturbation of the clip points feeding
+      ``win_mean`` / the MAD pivot). ``approx_percentile`` also selects a
+      stored value, so output types match the exact route exactly.
 
-    Both paths: quantile aggregate -> |groups|-row broadcast back ->
-    second aggregate for the winsorized mean (order-independent
-    DECIMAL(38,18) summation) and the MAD. Two scans of ``df``, all
+    Both paths finish with a |groups|-row broadcast back and a plain hash
+    aggregate for the winsorized mean (order-independent DECIMAL(38,18)
+    summation over the raw rows — no count-multiplication, so no decimal
+    overflow/rescale to diverge cross-engine). Two scans of ``df``, all
     shuffles keyed on ``group_cols``. Tolerance-tested against each other
     in tests/test_robust_stats.py.
+
+    ``band_width`` (exact path) trades parallelism against the broadcast
+    offset frame exactly as in ``weighted_median``; when ``None`` it is
+    derived at BUILD time from an eager min/max aggregate over the
+    collapsed frame (~256 bands — one bounded-metadata job, marked the
+    EAGER-builder way per PLANS.md). ``collapse_values=False`` (exact
+    path) skips the ``(group, value, count)`` collapse and runs the banded
+    windows on raw unit-multiplicity rows — the right call when the value
+    domain is near-unique and the collapse would shuffle full-width for no
+    dedup; identical output either way.
 
     NULL ``value_col`` rows are dropped up front (round-6 ADVICE): the
     percentile aggregates skip NULLs but ``count(*)`` would include them
@@ -85,15 +168,102 @@ def robust_stats(
     column describe the same non-NULL population, matching the
     weighted_median convention.
     """
+    from . import materialize_once
+
     df = df.filter(F.col(value_col).isNotNull())
     if exact:
-        def pct(p: float, order_expr: str):
-            return F.expr(
-                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {order_expr})"
+        if collapse_values:
+            counts = (
+                df.groupBy(*group_cols, value_col)
+                .agg(F.count("*").cast("long").alias("__cnt"))
             )
-    else:
-        def pct(p: float, order_expr: str):
-            return F.expr(f"approx_percentile({order_expr}, {p}, {accuracy})")
+            # Three consumers (in-band window, band totals, the MAD's
+            # derived frame) of a shuffle-priced stage: evaluate once
+            # (PERF.md rule).
+            counts = materialize_once(counts, eager=False)
+        else:
+            # ``collapse_values=False``: the value domain is near-unique
+            # (e.g. continuous measurements), so the collapse pays a
+            # full-width shuffle + materialization for no dedup — run the
+            # banded windows on raw rows with unit multiplicity instead.
+            # Still exact and still memory-bounded: the running count is a
+            # streaming frame over a per-(group, band) sort-based window,
+            # which spills rather than buffers. The three consumers each
+            # re-read the (columnar, pruned) scan — cheap relative to the
+            # avoided shuffle; a production pipeline over a duplicate-heavy
+            # corpus keeps the default collapse.
+            counts = df.select(*group_cols, value_col).withColumn(
+                "__cnt", F.lit(1).cast("long")
+            )
+        if band_width is None:
+            lohi = counts.agg(
+                F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+            ).first()
+            lo = float(lohi["lo"]) if lohi["lo"] is not None else 0.0
+            hi = float(lohi["hi"]) if lohi["hi"] is not None else 0.0
+            band_width = max((hi - lo) / 256.0, 1e-9)
+        cum = _banded_running_counts(
+            counts, group_cols, value_col, "__cnt", band_width
+        )
+        q = cum.groupBy(*group_cols).agg(
+            # coalesce: groups are never empty, but a bare max() is marked
+            # nullable and the approx path's count(*) is not — keep the two
+            # backends schema-identical (nullability included).
+            F.coalesce(F.max("__tw"), F.lit(0)).cast("bigint").alias("n"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cw") * F.lit(den) >= F.lit(num) * F.col("__tw"),
+                        F.col(value_col),
+                    )
+                ).alias(name)
+                for name, (num, den) in _DISC_GATES.items()
+            ],
+        )
+        # |groups|-row frame consumed by TWO branches (the MAD's derived
+        # frame and the final stats join), each of which would otherwise
+        # re-derive its whole subtree — including the data-sized window
+        # exchange — once per branch. Metadata-sized, so the
+        # materialization itself is free; lazy keeps construction job-free.
+        q = materialize_once(q, eager=False)
+        # MAD: percentile_disc(0.5) over |v - med| with the same
+        # multiplicities — selection only, no summation, so collapsing to
+        # distinct values loses nothing.
+        av = counts.join(
+            F.broadcast(q.select(*group_cols, "med")), group_cols
+        ).select(
+            *group_cols,
+            F.abs(F.col(value_col) - F.col("med")).alias("__av"),
+            "__cnt",
+        )
+        cum_av = _banded_running_counts(
+            av, group_cols, "__av", "__cnt", band_width
+        )
+        mad = cum_av.groupBy(*group_cols).agg(
+            F.min(
+                F.when(2 * F.col("__cw") >= F.col("__tw"), F.col("__av"))
+            ).alias("mad")
+        )
+        stats = q.join(F.broadcast(mad), group_cols)
+        j = df.join(F.broadcast(stats), group_cols)
+        clipped = F.greatest(
+            F.col("p05"), F.least(F.col("p95"), F.col(value_col))
+        )
+        return (
+            j.groupBy(*group_cols, "n", "p05", "p95", "med", "mad")
+            .agg(
+                F.round(
+                    F.sum(clipped.cast("decimal(38,18)")).cast("double")
+                    / F.count("*"),
+                    4,
+                ).alias("win_mean"),
+            )
+            .select(*group_cols, "n", "p05", "p95", "med", "win_mean", "mad")
+            .orderBy(*group_cols)
+        )
+
+    def pct(p: float, order_expr: str):
+        return F.expr(f"approx_percentile({order_expr}, {p}, {accuracy})")
 
     q = df.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("n"),

@@ -945,7 +945,14 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E3", "E4", "B26", "B11"),
 )
 def q127(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
+    from ..operators import ensure_parallelism
+
+    # The upper-triangle expansion is d(d+1)/2 = 2080 rows PER INPUT ROW
+    # through the decimal partial aggregate — a heavy per-row stage that
+    # must not inherit a single-split local scan (no-op on real
+    # multi-split tables; DECIMAL sums are order-independent, so the
+    # repartition cannot perturb the result).
+    emb = ensure_parallelism(load(spark, sf, "embeddings"))
     flat = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
     )
@@ -1320,7 +1327,11 @@ PROFILE_COLS = (
     tags=("B11", "B12", "B22"),
 )
 def q134(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders")
+    from ..operators import ensure_parallelism
+
+    # |cols|x stack + string casts is expansion-heavy per row; guard the
+    # single-split local scan (no-op on multi-split tables).
+    o = ensure_parallelism(load(spark, sf, "orders").select(*PROFILE_COLS))
     u = o.select(
         F.explode(
             F.array(
@@ -1748,7 +1759,16 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     tags=("B11", "B24"),
 )
 def q173(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem").select(
+    from ..operators import ensure_parallelism
+
+    # nine Decimal128 product-sums per row is compute-heavy relative to the
+    # narrow 4-column projection; guard the 3-split local scan (no-op on
+    # multi-split tables; decimal sums are order-independent).
+    li = ensure_parallelism(
+        load(spark, sf, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        )
+    ).select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
         F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("x2"),
@@ -1872,12 +1892,19 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     # under 2^63, and bigint hash-aggregation measurably beats Decimal128
     # state at 9.6M exploded rows. The DuckDB oracle's HUGEINT computes the
     # same exact values.
-    li = load(spark, sf, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("x"),
-        F.concat_ws(
-            ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
-        ).alias("key"),
+    from ..operators import ensure_parallelism
+
+    # narrow 3-column projection, then guard: the md5 + 16x replicate
+    # explode + bigint partial agg is expansion-heavy per row and must not
+    # inherit a 3-split local scan (no-op on multi-split tables).
+    li = ensure_parallelism(
+        load(spark, sf, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("x"),
+            F.concat_ws(
+                ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+            ).alias("key"),
+        )
     )
     hashed = li.withColumn(
         "h",

@@ -600,23 +600,25 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     "median absolute deviation of extended price per return flag — the "
     "robust complement to q115's mean/sigma z-scores (one fat-fingered "
     "price corrupts a mean; it moves a winsorized mean and a MAD almost "
-    "nothing). Pass 1 computes the exact p05/p95/median per group "
-    "(percentile_disc SELECTS stored values — no interpolation float to "
-    "diverge cross-engine); pass 2 broadcast-joins the |groups|-row stats "
-    "back, clips with greatest/least, and routes the order-dependent "
-    "winsorized sum through DECIMAL(38,18); |x - med| is exact IEEE "
-    "subtraction, so the MAD's disc-percentile is again a stored-value "
-    "selection. Groups are (returnflag, ship_year), not returnflag alone "
-    "— exact percentiles pay a PER-GROUP sorted aggregation buffer, so "
-    "group granularity IS the parallelism knob (3 corpus-sized buffers "
-    "measured 5.6 s warm at sf0.1; 21 year-sliced buffers 3.5 s on the "
-    "same 3-split local scan — the residual is scan-split-bound, which a "
-    "real multi-file table parallelizes away). 100 TB: two scans with "
-    "|groups|-bounded state; at "
-    "petabyte group sizes swap exact=False in (approx_percentile's "
-    "mergeable GK sketch — a CODED, tolerance-tested variant of the same "
-    "operator, operators/stats.py robust_stats; the declared oracle query "
-    "stays exact) and keep the identical downstream plan",
+    "nothing). The exact quantiles are banded running-count SELECTIONS "
+    "(operators/stats.robust_stats): pick the smallest stored value "
+    "whose exact running count clears the integer percentile_disc "
+    "gate (cw*den >= num*n, the integer form of cume_dist >= p), with "
+    "running counts built by the two-level banded window from "
+    "operators/weighted.py, so NO aggregate ever buffers group members "
+    "and parallelism is |groups| x |bands| (round-7 rewrite of the "
+    "percentile_disc buffering plan: 3.5 -> ~1.8 s warm at sf0.1, and "
+    "the ~10^8-row-group ceiling is gone; collapse_values=False here "
+    "because extended prices are near-unique — the default "
+    "(group, value, count) collapse is the duplicate-heavy-corpus "
+    "route). The winsorized sum stays a "
+    "plain hash aggregate over the raw rows through DECIMAL(38,18); "
+    "|x - med| is exact IEEE subtraction with the same multiplicities, "
+    "so the MAD is the same banded selection re-run. 100 TB: two scans, "
+    "every shuffle keyed on the group, per-task state one band of "
+    "DISTINCT values; approx_percentile's mergeable GK sketch remains "
+    "the coded screening variant (exact=False, tolerance-tested) when "
+    "even the distinct-value frame is too hot",
     tags=("B11", "B24"),
 )
 def q145(spark: SparkSession, sf: str) -> DataFrame:
@@ -627,6 +629,16 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         F.year("l_shipdate").cast("int").alias("ship_year"),
         "l_extendedprice",
     )
+    # band_width 512 over the [~900, ~105k] price domain -> ~200 bands x
+    # 21 groups of broadcast offsets, plan fully lazy (no AUTO min/max job).
+    # collapse_values=False: extended prices are near-unique (599,203
+    # distinct of 600,000 rows at sf0.1), so the (group, value, count)
+    # collapse would shuffle full-width for no dedup.
     return robust_stats(
-        li, ["l_returnflag", "ship_year"], "l_extendedprice", exact=True
+        li,
+        ["l_returnflag", "ship_year"],
+        "l_extendedprice",
+        exact=True,
+        band_width=512.0,
+        collapse_values=False,
     )

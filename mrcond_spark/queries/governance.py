@@ -443,7 +443,13 @@ def _profiler_oracle() -> str:
     tags=("B11", "B12", "B24", "B26"),
 )
 def q157(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    from ..operators import ensure_parallelism
+
+    # project to the four profiled columns FIRST, then guard parallelism:
+    # the 4x stack + decimal partial agg is expansion-heavy relative to the
+    # narrow projection, and a 3-split local scan would run it on 3 cores
+    # (no-op on real multi-split tables; order-independent aggregates).
+    li = ensure_parallelism(load(spark, sf, "lineitem").select(*PROFILE_COLS))
     stacked = li.select(
         F.explode(
             F.array(

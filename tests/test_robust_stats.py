@@ -97,3 +97,59 @@ def test_null_values_dropped_consistently(spark):
     ).collect()[0]
     assert got["n"] == 20  # NULLs excluded from the population count
     assert got.asDict() == want.asDict()
+
+
+import duckdb
+import pytest
+
+
+@pytest.mark.parametrize("band_width", [None, 0.5])
+@pytest.mark.parametrize("collapse", [True, False])
+def test_banded_gate_matches_duckdb_percentile_disc(spark, band_width, collapse):
+    """Adversarial cross-engine pin for the round-7 exact path: the integer
+    gate cw*den >= num*n over banded running counts must reproduce
+    percentile_disc on tied multisets, singletons, all-duplicate groups,
+    negatives, and both band extremes (band_width=None derives ~256 bands;
+    0.5 gives hundreds of near-singleton bands), for both the collapsed
+    (group, value, count) route and the raw unit-multiplicity route."""
+    import random
+
+    random.seed(7)
+    groups = {
+        "ties": [1.0] * 50 + [2.0] * 50 + [3.0],
+        "singleton": [42.0],
+        "two_vals": [5.0, 7.0] * 10,
+        "uniform": [float(i) for i in range(1, 101)],
+        "all_dup": [9.0] * 500,
+        "random": [random.uniform(-100, 100) for _ in range(397)],
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_stats(
+        df, ["g"], "v", exact=True, band_width=band_width, collapse_values=collapse
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = con.execute(
+        """
+        WITH q AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) n,
+            percentile_disc(0.05) WITHIN GROUP (ORDER BY v) p05,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY v) p95,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY v) med
+          FROM t GROUP BY g)
+        SELECT tt.g, q.n, q.p05, q.p95, q.med,
+          ROUND(CAST(SUM(CAST(greatest(q.p05, least(q.p95, tt.v))
+                    AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) win_mean,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(tt.v - q.med)) mad
+        FROM t tt JOIN q ON tt.g = q.g
+        GROUP BY tt.g, q.n, q.p05, q.p95, q.med ORDER BY tt.g
+        """
+    ).fetchall()
+    con.close()
+    gotl = [
+        (r["g"], r["n"], r["p05"], r["p95"], r["med"], r["win_mean"], r["mad"])
+        for r in got
+    ]
+    assert gotl == [tuple(w) for w in want]
