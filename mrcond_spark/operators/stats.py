@@ -44,6 +44,15 @@ def moment_stats(
     return s.select(*key_cols, "n", mu.alias("mu"), F.sqrt(var).alias("sd"))
 
 
+#: pinned bands for non-finite doubles, ordered the way both engines sort
+#: them: -inf < every finite value < +inf < NaN. Collision with a finite
+#: floor(v / band_width) would need |v / band_width| ~ 2^63 — out of any
+#: sane banding regime (band_width aims for tens-to-hundreds of bands).
+_BAND_NEG_INF = -(2**63)
+_BAND_POS_INF = 2**63 - 2
+_BAND_NAN = 2**63 - 1
+
+
 def _banded_running_counts(
     counts: DataFrame,
     group_cols: list[str],
@@ -63,11 +72,26 @@ def _banded_running_counts(
     in either order, but every consumer selects by VALUE at a count gate,
     and all orderings agree on the smallest value whose cumulative count
     clears a threshold.
+
+    Non-finite values get PINNED bands instead of ``floor``'s NULL/overflow
+    (a NULL band would silently drop the row from the offset equi-join
+    while its count still reached the group total — the round-6 NULL
+    finding's sibling): ``-Infinity`` below every finite band, ``+Infinity``
+    above, ``NaN`` last — matching both engines' sort order, so a >5%
+    NaN tail correctly surfaces in p95 rather than vanishing.
     """
-    li = counts.withColumn(
-        "__band",
-        F.floor(F.col(value_col) / F.lit(float(band_width))).cast("long"),
-    )
+    v = F.col(value_col)
+    finite_band = F.floor(v / F.lit(float(band_width))).cast("long")
+    if dict(counts.dtypes)[value_col] in ("double", "float"):
+        band = (
+            F.when(F.isnan(v), F.lit(_BAND_NAN))
+            .when(v == F.lit(float("inf")), F.lit(_BAND_POS_INF))
+            .when(v == F.lit(float("-inf")), F.lit(_BAND_NEG_INF))
+            .otherwise(finite_band)
+        )
+    else:  # exact types (decimal/int) cannot hold NaN/inf; isnan won't parse
+        band = finite_band
+    li = counts.withColumn("__band", band)
     w_in = (
         Window.partitionBy(*group_cols, "__band")
         .orderBy(value_col)
@@ -196,7 +220,19 @@ def robust_stats(
                 "__cnt", F.lit(1).cast("long")
             )
         if band_width is None:
-            lohi = counts.agg(
+            fin = counts
+            if dict(counts.dtypes)[value_col] in ("double", "float"):
+                # derive the width from FINITE values only: a NaN max would
+                # make every finite band NULL, an infinite range would fold
+                # all finite values into one band (the pinned bands handle
+                # the non-finite rows themselves either way).
+                v = F.col(value_col)
+                fin = counts.filter(
+                    ~F.isnan(v)
+                    & (v != F.lit(float("inf")))
+                    & (v != F.lit(float("-inf")))
+                )
+            lohi = fin.agg(
                 F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
             ).first()
             lo = float(lohi["lo"]) if lohi["lo"] is not None else 0.0

@@ -42,7 +42,11 @@ def weighted_median(
     ``value_col`` must be NON-NULL on every row: a NULL value has no
     position in the band-aligned order, and its rows would fall out of
     the offset equi-join while still counting into the band totals —
-    filter NULLs first. ``weight_col`` must be integer-typed (exact gate
+    filter NULLs first. The same applies to NaN / +-Infinity doubles
+    (``floor`` gives them a NULL band); this operator's callers are
+    integer/decimal-typed, so the contract is FINITE values — for
+    doubles with possible non-finite tails use the pinned-band variant
+    in ``operators/stats._banded_running_counts``. ``weight_col`` must be integer-typed (exact gate
     arithmetic) and non-negative; rows with zero weight never become the
     median unless tied on value with positive-weight rows (they add
     nothing to the running sum). ``band_width`` trades parallelism against the size of

@@ -153,3 +153,45 @@ def test_banded_gate_matches_duckdb_percentile_disc(spark, band_width, collapse)
         for r in got
     ]
     assert gotl == [tuple(w) for w in want]
+
+
+@pytest.mark.parametrize("collapse", [True, False])
+def test_nonfinite_values_follow_spark_percentile_disc(spark, collapse):
+    """NaN / +-Infinity must occupy their sort positions (-inf < finite <
+    +inf < NaN, Spark's double order) rather than silently dropping out of
+    the banded offset join — a >5% NaN tail must surface in p95. DuckDB's
+    percentile_disc is inconsistent in the presence of NaN, so the pin is
+    against Spark's OWN percentile_disc aggregate (the semantics the
+    banded selection replaces); oracle-bearing callers stay finite-only."""
+    inf, nan = float("inf"), float("nan")
+    rows = (
+        [("g", float(i)) for i in range(1, 15)]
+        + [("g", -inf), ("g", inf), ("g", nan), ("g", nan)]
+        + [("h", nan)] * 3          # all-NaN group
+        + [("i", -inf), ("i", 5.0)]  # -inf must be p05, not dropped
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_stats(
+        df, ["g"], "v", exact=True, collapse_values=collapse
+    ).select("g", "n", "p05", "p95", "med").collect()
+    want = (
+        df.groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY v)").alias("p05"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)").alias("p95"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("med"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+
+    def key(r):
+        import math
+
+        def c(x):
+            return "nan" if isinstance(x, float) and math.isnan(x) else x
+
+        return (r["g"], r["n"], c(r["p05"]), c(r["p95"]), c(r["med"]))
+
+    assert [key(r) for r in got] == [key(r) for r in want]
