@@ -367,8 +367,12 @@ def bench_batch_corpus(
     for name in names:  # pass 1: full corpus, registry order
         time_one(name)
     for _pass in range(2, 5):  # passes 2-4: suspicion-ordered, budget-aware
+        # errored queries (timing still inf) sort FIRST (-inf suspicion
+        # key): a transient pass-1 failure gets its retry before any
+        # re-time, so "a later success clears an earlier error" holds for
+        # pass-1 errors too, not just cross-pass ones.
         order = sorted(
-            (n for n in names if timings[n] != float("inf")),
+            names,
             key=lambda n: (-timings[n] / expected[n], n),
         )
         if not order or time.perf_counter() - t0 > budget_s:

@@ -39,6 +39,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import materialize_once
+
 #: Key-part separator for extended/salted block keys; never appears in
 #: whitespace-normalized token prefixes.
 _SEP = "\x1f"
@@ -134,6 +136,13 @@ def sorted_neighborhood_pairs(
             )
         ],
     )
+    # The union below consumes ``leads`` once per distance d; without a
+    # materialization point each branch re-executes the window exchange AND
+    # the whole bounded_block_key lineage (one count-agg + self-join per
+    # guard level, each re-deriving the keyed scan) — the multi-consumer
+    # rule from PERF.md. One evaluation, stored blocks, lazy (no
+    # construction-time job).
+    leads = materialize_once(leads, eager=False)
     out = None
     for d in range(1, w + 1):
         part = leads.filter(F.col(f"__id_{d}").isNotNull()).select(

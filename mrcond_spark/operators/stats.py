@@ -45,10 +45,16 @@ def moment_stats(
 
 
 #: pinned bands for non-finite doubles, ordered the way both engines sort
-#: them: -inf < every finite value < +inf < NaN. Collision with a finite
-#: floor(v / band_width) would need |v / band_width| ~ 2^63 — out of any
-#: sane banding regime (band_width aims for tens-to-hundreds of bands).
+#: them: -inf < every finite value < +inf < NaN. Finite bands are CLAMPED
+#: into (_BAND_NEG_INF, _BAND_FINITE_MAX]: Spark's non-ANSI double->long
+#: cast saturates at Long.MaxValue, so an unclamped |v / band_width| >=
+#: 2^63 (reachable: equal-valued groups clamp the derived width to 1e-9,
+#: making 1e10 / 1e-9 overflow) would land finite values ON the NaN band,
+#: ABOVE +Infinity, and misorder the running counts. Clamped extremes
+#: still order correctly inside their band via the within-band value sort.
 _BAND_NEG_INF = -(2**63)
+_BAND_FINITE_MIN = -(2**63) + 1
+_BAND_FINITE_MAX = 2**63 - 3
 _BAND_POS_INF = 2**63 - 2
 _BAND_NAN = 2**63 - 1
 
@@ -59,6 +65,7 @@ def _banded_running_counts(
     value_col: str,
     cnt_col: str,
     band_width: float,
+    hint_broadcast_offs: bool = False,
 ) -> DataFrame:
     """Per-row exact running count ``__cw`` and group total ``__tw`` over a
     weighted value frame, with every data-sized stage distributed.
@@ -80,8 +87,20 @@ def _banded_running_counts(
     above, ``NaN`` last — matching both engines' sort order, so a >5%
     NaN tail correctly surfaces in p95 rather than vanishing.
     """
+    if not (float(band_width) > 0):  # also rejects NaN
+        raise ValueError(
+            f"_banded_running_counts: band_width={band_width} must be a "
+            "positive finite number (a negative width inverts band order "
+            "and silently corrupts every quantile gate)"
+        )
     v = F.col(value_col)
-    finite_band = F.floor(v / F.lit(float(band_width))).cast("long")
+    finite_band = F.greatest(
+        F.least(
+            F.floor(v / F.lit(float(band_width))).cast("long"),
+            F.lit(_BAND_FINITE_MAX),
+        ),
+        F.lit(_BAND_FINITE_MIN),
+    )
     if dict(counts.dtypes)[value_col] in ("double", "float"):
         band = (
             F.when(F.isnan(v), F.lit(_BAND_NAN))
@@ -114,7 +133,15 @@ def _banded_running_counts(
         F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__bt").over(w_g).alias("__tw"),
     )
-    return banded.join(F.broadcast(offs), [*group_cols, "__band"]).select(
+    # offs is |groups| x |bands| rows — metadata-sized for bounded group
+    # keys but UNBOUNDED in |groups| generally, and an unconditional hint
+    # would bypass autoBroadcastJoinThreshold (the ntile.py round-6
+    # advisory pattern). Default: AQE picks broadcast from the frame's
+    # actual runtime size; callers that KNOW their group key is bounded
+    # opt in to the hint and skip AQE's extra exchange round-trip.
+    if hint_broadcast_offs:
+        offs = F.broadcast(offs)
+    return banded.join(offs, [*group_cols, "__band"]).select(
         *group_cols,
         value_col,
         (F.col("__off") + F.col("__cw_in")).alias("__cw"),
@@ -138,6 +165,7 @@ def robust_stats(
     accuracy: int = 10_000,
     band_width: float | None = None,
     collapse_values: bool = True,
+    bounded_groups: bool = False,
 ) -> DataFrame:
     """Per-group robust center/spread: ``(n, p05, p95, med, win_mean, mad)``
     — 5/95 winsorized mean and the median absolute deviation (the q145
@@ -182,7 +210,14 @@ def robust_stats(
     path) skips the ``(group, value, count)`` collapse and runs the banded
     windows on raw unit-multiplicity rows — the right call when the value
     domain is near-unique and the collapse would shuffle full-width for no
-    dedup; identical output either way.
+    dedup; identical output either way. ``bounded_groups=True`` is the
+    caller's attestation that the group key's cardinality is bounded
+    (e.g. flag x year): it adds explicit broadcast hints on the
+    |groups|-row stats frames and the |groups x bands| offset frame,
+    skipping AQE's extra exchange round-trip; the default leaves those
+    joins hint-free so an unbounded group key can never force-broadcast
+    past autoBroadcastJoinThreshold (the ntile.py round-6 advisory
+    pattern).
 
     NULL ``value_col`` rows are dropped up front (round-6 ADVICE): the
     percentile aggregates skip NULLs but ``count(*)`` would include them
@@ -239,7 +274,8 @@ def robust_stats(
             hi = float(lohi["hi"]) if lohi["hi"] is not None else 0.0
             band_width = max((hi - lo) / 256.0, 1e-9)
         cum = _banded_running_counts(
-            counts, group_cols, value_col, "__cnt", band_width
+            counts, group_cols, value_col, "__cnt", band_width,
+            hint_broadcast_offs=bounded_groups,
         )
         q = cum.groupBy(*group_cols).agg(
             # coalesce: groups are never empty, but a bare max() is marked
@@ -265,23 +301,28 @@ def robust_stats(
         # MAD: percentile_disc(0.5) over |v - med| with the same
         # multiplicities — selection only, no summation, so collapsing to
         # distinct values loses nothing.
+        med_frame = q.select(*group_cols, "med")
         av = counts.join(
-            F.broadcast(q.select(*group_cols, "med")), group_cols
+            F.broadcast(med_frame) if bounded_groups else med_frame, group_cols
         ).select(
             *group_cols,
             F.abs(F.col(value_col) - F.col("med")).alias("__av"),
             "__cnt",
         )
         cum_av = _banded_running_counts(
-            av, group_cols, "__av", "__cnt", band_width
+            av, group_cols, "__av", "__cnt", band_width,
+            hint_broadcast_offs=bounded_groups,
         )
         mad = cum_av.groupBy(*group_cols).agg(
             F.min(
                 F.when(2 * F.col("__cw") >= F.col("__tw"), F.col("__av"))
             ).alias("mad")
         )
-        stats = q.join(F.broadcast(mad), group_cols)
-        j = df.join(F.broadcast(stats), group_cols)
+        # |groups|-row frames, but |groups| is unbounded in general —
+        # broadcast hints only under the caller's bounded_groups attestation
+        # (AQE still broadcasts them when actually small either way).
+        stats = q.join(F.broadcast(mad) if bounded_groups else mad, group_cols)
+        j = df.join(F.broadcast(stats) if bounded_groups else stats, group_cols)
         clipped = F.greatest(
             F.col("p05"), F.least(F.col("p95"), F.col(value_col))
         )
@@ -307,7 +348,7 @@ def robust_stats(
         pct(0.95, value_col).alias("p95"),
         pct(0.5, value_col).alias("med"),
     )
-    j = df.join(F.broadcast(q), group_cols)
+    j = df.join(F.broadcast(q) if bounded_groups else q, group_cols)
     clipped = F.greatest(
         F.col("p05"), F.least(F.col("p95"), F.col(value_col))
     )

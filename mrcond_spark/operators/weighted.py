@@ -54,6 +54,12 @@ def weighted_median(
     the value domain (for unknown domains derive bands from approx
     quantiles instead of a fixed width).
     """
+    if not (float(band_width) > 0):  # also rejects NaN
+        raise ValueError(
+            f"weighted_median: band_width={band_width} must be a positive "
+            "finite number (a negative width inverts band order and "
+            "silently corrupts the running-weight gate)"
+        )
     li = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),

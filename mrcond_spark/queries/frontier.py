@@ -634,6 +634,8 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     # collapse_values=False: extended prices are near-unique (599,203
     # distinct of 600,000 rows at sf0.1), so the (group, value, count)
     # collapse would shuffle full-width for no dedup.
+    # bounded_groups: returnflag x ship_year is a few dozen keys, so the
+    # stats/offset frames are attested metadata-sized and broadcast-hinted.
     return robust_stats(
         li,
         ["l_returnflag", "ship_year"],
@@ -641,4 +643,5 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         exact=True,
         band_width=512.0,
         collapse_values=False,
+        bounded_groups=True,
     )

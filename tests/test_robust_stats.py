@@ -195,3 +195,31 @@ def test_nonfinite_values_follow_spark_percentile_disc(spark, collapse):
         return (r["g"], r["n"], c(r["p05"]), c(r["p95"]), c(r["med"]))
 
     assert [key(r) for r in got] == [key(r) for r in want]
+
+
+def test_band_overflow_saturation_keeps_inf_above_finite(spark):
+    """Round-7 review finding: with an equal-valued finite group the AUTO
+    band width clamps to 1e-9, so floor(1e10 / 1e-9) overflows the long
+    cast and saturates at Long.MaxValue — unclamped, those finite rows
+    would land ON the NaN band, ABOVE +Infinity, and p95 would come back
+    finite where percentile_disc says +inf. The finite-band clamp keeps
+    band order (-inf < finite < +inf < NaN) under saturation."""
+    inf = float("inf")
+    rows = [("g", 1e10)] * 100 + [("g", inf)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_stats(df, ["g"], "v", exact=True).collect()[0]
+    assert got["n"] == 110
+    assert got["p05"] == 1e10
+    assert got["med"] == 1e10
+    assert got["p95"] == inf  # the inf tail must surface, not vanish
+
+
+def test_negative_band_width_raises(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="band_width"):
+        robust_stats(df, ["g"], "v", exact=True, band_width=-512.0).collect()
+    from mrcond_spark.operators.weighted import weighted_median
+
+    wdf = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
+    with pytest.raises(ValueError, match="band_width"):
+        weighted_median(wdf, "g", "v", "w", band_width=-1.0).collect()
