@@ -130,6 +130,12 @@ def edit_distance_join(
         .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
     )
     plen = F.least(F.lit(q * k + 1), F.size("ord"))
+    # ranked feeds both self-join sides; its ord arrays are SMALL (len/q
+    # grams of a short join key), so one evaluation + stored blocks wins
+    # (measured ~6.2 -> ~5.2 s at sf0.1). The same materialization LOSES in
+    # setsim.py, where ord holds full document shingle sets — checkpoint
+    # I/O there costs more than the exchange-reuse it replaces.
+    ranked = materialize_once(ranked, eager=False)
     prefix = ranked.select(
         "id",
         "len",

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import materialize_once
+
 
 def moment_stats(
     df: DataFrame,
@@ -227,8 +229,6 @@ def robust_stats(
     column describe the same non-NULL population, matching the
     weighted_median convention.
     """
-    from . import materialize_once
-
     df = df.filter(F.col(value_col).isNotNull())
     if exact:
         if collapse_values:
@@ -408,6 +408,8 @@ def mann_whitney_u_x2(
         F.sum(F.col("is_a").cast("bigint")).alias("ca"),
         F.count(F.lit(1)).alias("c"),
     ).withColumn("band", F.expr(f"v div {int(band_width)}"))
+    # same two-consumer aggregate shape as ks_d_numerator: evaluate once.
+    vals = materialize_once(vals, eager=False)
     w_in = (
         Window.partitionBy("g", "band")
         .orderBy("v")
@@ -490,6 +492,9 @@ def ks_d_numerator(
         F.sum(F.col("is_a").cast("bigint")).alias("ca"),
         F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
     ).withColumn("band", F.expr(f"v div {int(band_width)}"))
+    # vals is a shuffle-priced aggregate consumed by TWO branches (in-band
+    # window + band totals): evaluate once (PERF.md multi-consumer rule).
+    vals = materialize_once(vals, eager=False)
     w_in = (
         Window.partitionBy("g", "band")
         .orderBy("v")
