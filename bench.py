@@ -364,8 +364,19 @@ def bench_batch_corpus(
         timings[name] = min(timings[name], time.perf_counter() - q0)
         errors.pop(name, None)
 
+    def spiked(name: str) -> bool:
+        return timings[name] > max(3 * expected[name], expected[name] + 2)
+
     for name in names:  # pass 1: full corpus, registry order
         time_one(name)
+        # immediate one-shot retry on a >3x-expected sample (round-6 judge
+        # directive): a second run seconds later already cancels sub-second
+        # scheduler hiccups and first-run cache misses, while the
+        # suspicion-ordered passes below still provide the minutes-later
+        # DECORRELATED sample for longer stall windows. Bounded cost: only
+        # spiked queries pay it, budget checked first.
+        if spiked(name) and time.perf_counter() - t0 < budget_s:
+            time_one(name)
     for _pass in range(2, 5):  # passes 2-4: suspicion-ordered, budget-aware
         # errored queries (timing still inf) sort FIRST (-inf suspicion
         # key): a transient pass-1 failure gets its retry before any
@@ -386,7 +397,7 @@ def bench_batch_corpus(
     spikes = {
         n: [round(timings[n], 2), expected[n]]
         for n in names
-        if timings[n] != float("inf") and timings[n] > max(3 * expected[n], expected[n] + 2)
+        if timings[n] != float("inf") and spiked(n)
     }
     if spikes:
         print(json.dumps({"unresolved_spikes": spikes}), file=sys.stderr)

@@ -63,3 +63,29 @@ def test_persistent_error_stays_recorded(monkeypatch):
     timings, errors = bench.bench_batch_corpus(None, queries, ["q_dead"], budget_s=10.0)
     assert "q_dead" in errors
     assert timings == {}
+
+
+class _SlowThenFast:
+    """First call reports slow (simulated via a monkeypatched clock is
+    overkill — instead the stub sleeps); subsequent calls are fast."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def spark(self, _spark, _sf):
+        import time as _t
+
+        self.calls += 1
+        if self.calls == 1:
+            _t.sleep(2.2)  # > expected + 2 with expected=0.01
+        return _Result()
+
+
+def test_pass1_spike_gets_immediate_retry(monkeypatch):
+    q = _SlowThenFast()
+    monkeypatch.setattr(bench, "_load_expected", lambda names: {n: 0.01 for n in names})
+    timings, errors = bench.bench_batch_corpus(None, {"q": q}, ["q"], budget_s=30.0)
+    assert errors == {}
+    # the immediate retry (plus later passes) must record the FAST sample
+    assert timings["q"] < 1.0
+    assert q.calls >= 2
