@@ -55,34 +55,29 @@ def register(
 #:
 #: ROTATION (round-3 judge directive): ~33 operator representatives stay
 #: fixed; the remaining slots rotate each round through queries that lack
-#: a GREEN driver hash verdict. Round-6 window: 49/49 oracle-checkable
+#: a GREEN driver hash verdict. Round-7 window: 49/49 oracle-checkable
 #: rows green (q32 ``no_oracle`` by design) — first-ever green driver
-#: verdicts for the seven round-1 reds (q59 q63 q64 q65 q66 q71 q77) and
-#: the ten round-5 flagships (q112 q118 q119 q123 q127 q132 q140 q144
-#: q148 q151); zero red-on-record rows remain anywhere in the ledger.
-#: Round 7 rotates those seventeen OUT (all driver-green in
-#: CORRECTNESS_r06, every affected operator keeping an in-window
-#: representative) and rotates IN the round-6 judge's priority list with
-#: one substitution: q145 robust stats (the cleared r5 perf-weak), q153
-#: leakage, q154 integrity, q157 profiler, q159 Bradley-Terry, q170
-#: dedup components (the iterative operator's only oracle path), q175
-#: TPC-H Q21 decorrelation, q165 incremental near-dup, q166
-#: sorted-neighborhood (hot-block guard coded this round), q167 key-skew
-#: audit, q180 Ed-Join (short-string leg bounded this round), q182
-#: bootstrap, q184 KS drift, q146 TPC-H Q5, q106 moments, q114 inverted
-#: index, and q177 TPC-H Q14 IN PLACE OF the suggested q125 BM25 —
-#: q177 is the only pool query carrying both B23 and B25, whose ONLY
-#: in-window representatives (q59/q63/q71 for B23; q65/q66/q148 for
-#: B25) all rotate out this round, while E5/B18 (q125's tags) keep
-#: multiple green reps either way.
-#: Remaining round-8 rotation pool (oracle-bearing, builder-green, no
-#: driver verdict yet): q107–q111, q113, q115–q117, q120–q122,
-#: q124–q126, q128–q131, q133–q139, q141–q143, q147, q150, the
-#: governance remainder q152 q155 q156 q158 q160–q163, q164
-#: applyInArrow, q168 per-group OLS, q169 stratified budget sample,
-#: q171–q174, q176, q178–q179 TPC-H composites, q181 repeated spans,
-#: q183 rank-sum, q185 transitions — ~52 queries, two-to-three more
-#: rounds at ~17 slots.
+#: verdicts for all seventeen rotation slots (q106 q114 q145 q146 q153
+#: q154 q157 q159 q165 q166 q167 q170 q175 q177 q180 q182 q184); zero
+#: red-on-record rows remain anywhere in the ledger, attestation debt
+#: 69→52.
+#: Round 8 rotates those seventeen OUT (all driver-green in
+#: CORRECTNESS_r07) and rotates IN the round-7 judge's priority list
+#: verbatim — exactly 17 names: q125 BM25 (the r7 rotation miss), the
+#: six unattested TPC-H composites q171 q172 q173 q174 q176 q178 q179
+#: (seven with q172), q181 repeated spans (ExactSubstr prep), q183/q185
+#: drift, q152/q163 splits (the governance pair q153 depends on), q117
+#: boilerplate removal, q134 table profile, q120 triangles, q143
+#: z-order. Operator coverage across the swap: B23 (was q177-only) →
+#: q171/q179/q185; B25 (was q177-only) → q176/q178; B16 (was
+#: q166/q170) → q185; B22 keeps fixed q21; B26 (was q157/q114/q180) →
+#: q181; every other tag keeps a fixed-block representative.
+#: Remaining round-9 rotation pool (oracle-bearing, builder-green, no
+#: driver verdict yet): q107–q111, q113, q115, q116, q121, q122, q124,
+#: q126, q128–q131, q133, q135–q139, q141, q142, q147, q150, the
+#: governance remainder q155 q156 q158 q160–q162, q164 applyInArrow,
+#: q168 per-group OLS, q169 stratified budget sample — 35 queries,
+#: ~two more rounds at ~17 slots.
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -133,25 +128,25 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-7 rotation slots (round-6 judge priority list; q177 subs for
-    # q125 to keep B23+B25 in-window — see ROTATION note above)
-    "q145_robust_stats",      # B11/B24 winsorized stats (r5 perf-weak, fixed r6)
-    "q153_split_leakage",     # E2/E5 train/test leakage audit on the LSH plan
-    "q154_referential_integrity",  # B7/B19 orphan audit via anti-join UNION
-    "q157_column_profiler",   # B11/B12/B24/B26 stack-to-long profiler
-    "q159_bradley_terry",     # B4/B11/E5 MM fixed rounds on the win matrix
-    "q170_dedup_components",  # E1/E2/B16 connected components (iterative oracle)
-    "q175_tpch_q21_waiting",  # B28/B7/B11/B4 decorrelated EXISTS/NOT EXISTS
-    "q165_incremental_near_dup",  # E2/E1 new-batch-vs-index band probe
-    "q166_sorted_neighborhood",   # E2/B16 SNM blocking (hot-block guard, r7)
-    "q167_key_skew_audit",    # B11/B15/B24/E5 Gini via cutpoint-bucketed rank
-    "q180_edit_distance_join",  # E2/B22/B26 Ed-Join (short leg bounded, r7)
-    "q182_bootstrap_variance",  # B11/B24/B31 Poisson bootstrap
-    "q184_ks_drift",          # B11/B15/B24 exact KS via banded running counts
-    "q146_tpch_q5",           # B3/B4/B11 full TPC-H Q5
-    "q106_stats_moments",     # B11/B24 skew/kurtosis co-moments
-    "q114_inverted_index",    # E5/B11/B26 posting-list build
-    "q177_tpch_q14_promo",    # B25/B11/B4/B23 — sole B23+B25 window rep
+    # round-8 rotation slots (round-7 judge priority list, verbatim —
+    # see ROTATION note above for the operator-coverage audit)
+    "q125_bm25_topk",         # E5/B18 BM25 ranking (the r7 rotation miss)
+    "q171_tpch_q3_priority",  # B4/B11/B18/B23 TPC-H Q3 shipping priority
+    "q172_tpch_q18_volume",   # B28/B11/B14/B4 TPC-H Q18 large-volume cust
+    "q173_normal_equations",  # B11/B24 closed-form OLS via normal equations
+    "q174_tpch_q13_custdist", # B5/B11/B22 TPC-H Q13 customer distribution
+    "q176_tpch_q22_dormant",  # B28/B7/B11/B25 TPC-H Q22 global-acct subquery
+    "q178_tpch_q19_disjunct", # B3/B4/B25 TPC-H Q19 disjunctive predicates
+    "q179_tpch_q7_volume",    # B4/B11/B23 TPC-H Q7 cross-nation volume
+    "q181_repeated_spans",    # E5/E1/B26 repeated-span mining (ExactSubstr prep)
+    "q183_rank_sum_drift",    # B11/B15/B24 Mann-Whitney rank-sum drift
+    "q185_transition_matrix", # B15/B16/B23 event transition matrix
+    "q152_train_val_split",   # E5/B11 md5-hash deterministic splits
+    "q163_group_split",       # E5/B11/B12 group-level leakage-proof split
+    "q117_boilerplate_removal",  # E1/E5 within-domain boilerplate lines
+    "q134_table_profile",     # B11/B12/B22 whole-table profiling
+    "q120_copurchase_triangles",  # B4/B11/E5 triangle counting
+    "q143_zorder_layout",     # B11/B24 z-order interleave layout audit
 )
 
 
