@@ -31,6 +31,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: bounded-collect contract: the per-bucket offset table must stay
+#: driver-sized. 4096 is ~16x the documented 16–256 sweet spot — generous
+#: enough for any sane order-aligned split, small enough that the literal
+#: maps stay off the codegen cliff (the same cap class as
+#: frontier.MAX_BUCKETS / sampling.MAX_STRATA).
+MAX_BUCKETS = 4096
+
 
 def bucketed_running_sum(
     df: DataFrame,
@@ -51,7 +58,9 @@ def bucketed_running_sum(
     Bucket count trades parallelism against the driver-side offset table;
     16–256 is plenty (each bucket still fans out across tasks only for the
     agg — the window itself runs one task per bucket, so pick n_buckets >=
-    target parallelism for the window stage).
+    target parallelism for the window stage). The contract is ENFORCED:
+    more than ``MAX_BUCKETS`` distinct buckets raises ``ValueError`` before
+    the collect can go data-sized.
 
     EAGER + SNAPSHOT CONTRACT: unlike most operators in this package, the
     per-bucket totals job runs HERE, at construction time (the offsets must
@@ -73,11 +82,25 @@ def bucketed_running_sum(
         from . import materialize_once
 
         df = materialize_once(df)
+    # The bounded-collect contract: one row per bucket. A near-distinct
+    # bucket_col would silently turn this into a data-sized driver collect
+    # and a plan-bloating literal map — so the JOB ITSELF is bounded with
+    # limit(cap + 1) and the overflow rejected loudly, same pattern as
+    # frontier.skyline_2d / sampling.stratified_budget_sample.
     totals = (
         df.groupBy(bucket_col)
         .agg(F.sum(value_col).alias("__t"), F.count(value_col).alias("__c"))
+        .limit(MAX_BUCKETS + 1)
         .collect()
     )
+    if len(totals) > MAX_BUCKETS:
+        raise ValueError(
+            f"bucketed_running_sum: bucket_col {bucket_col!r} produced more "
+            f"than {MAX_BUCKETS} buckets; coarsen it — the bucket column "
+            "must be a bounded, order-aligned split of the global order "
+            "(16–256 buckets is the documented sweet spot), not a "
+            "near-distinct key"
+        )
     if any(r[bucket_col] is None for r in totals):
         raise ValueError(
             f"bucketed_running_sum: bucket_col {bucket_col!r} contains NULLs; "

@@ -177,6 +177,7 @@ def lsh_ann_topk(
 def sampled_kmeans_centroids(
     embeddings: DataFrame,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     n_clusters: int = 16,
     seed: int = 42,
     fit_sample: int = 4096,
@@ -189,21 +190,41 @@ def sampled_kmeans_centroids(
     empty corpus (or a sample draw that missed every row). The build never
     reads the full corpus: the count job is parquet-footer cheap, the sample
     collect is the only data read, and Lloyd iterations run on <=~5k rows in
-    milliseconds. NOTE: Bernoulli ``.sample(fraction)`` draws depend on the
-    input's file partitioning, so centroids can shift across hosts/layouts —
-    callers must not let raw cell ids reach a hash-compared output.
+    milliseconds.
+
+    The sample is an md5-threshold row filter on ``id_col`` (the same
+    deterministic-hash primitive as ``splits.split_assignment``), NOT
+    Bernoulli ``.sample(fraction)``: a Bernoulli draw depends on the input's
+    file partitioning, so the same corpus read under a different layout
+    (repartition, different file split, another host) would fit different
+    centroids. The hash filter is a pure function of each row's id — the
+    fitted centroids are identical for identical (id, vector) contents under
+    ANY partitioning. The sample rows are additionally sorted by id before
+    the fit so the Lloyd iterations see a deterministic row order.
     """
     import numpy as np
 
     n_rows = embeddings.count()
     frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
+    # layout-independent ~frac sample: md5("kmeans{seed}:" + id) -> 60-bit
+    # int; keep rows whose hash bucket (out of 2^20) is under frac * 2^20
+    denom = 1 << 20
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"kmeans{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample_rows = (
+        embeddings.filter((hk % denom) < int(frac * denom))
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("nv"))
+        .collect()
+    )
     sample = np.array(
-        [
-            r["nv"]
-            for r in embeddings.select(F.col(vec_col).alias("nv"))
-            .sample(fraction=frac, seed=seed)
-            .collect()
-        ],
+        [r["nv"] for r in sorted(sample_rows, key=lambda r: r["sid"])],
         dtype="float64",
     )
     if len(sample) == 0:
@@ -293,11 +314,11 @@ def ivf_ann_topk(
     vecs = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv")
     )
-    # count runs pre-repartition (no shuffle); centroid partitioning-drift is
-    # acceptable here because IVF's non-planted output is graded rows-only
-    # (recall-vs-exact pytest), never hash-compared
+    # count runs pre-repartition (no shuffle); the md5-threshold sample makes
+    # the fitted centroids identical under any input partitioning (and the
+    # planted-duplicate invariant below holds regardless — belt and braces)
     centroids = sampled_kmeans_centroids(
-        embeddings, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        embeddings, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, seed=seed
     )
     if centroids is None:
         # empty corpus: no index to build and nothing to rank — return an
@@ -480,7 +501,7 @@ def semantic_dedup(
     from .components import drop_non_representatives
 
     centroids = sampled_kmeans_centroids(
-        embeddings, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        embeddings, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, seed=seed
     )
     if centroids is None:
         return embeddings  # empty corpus: nothing to dedup

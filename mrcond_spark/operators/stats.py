@@ -10,6 +10,8 @@ drift). One partial->final hash aggregate; the output is |keys|-sized.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -89,11 +91,15 @@ def _banded_running_counts(
     above, ``NaN`` last — matching both engines' sort order, so a >5%
     NaN tail correctly surfaces in p95 rather than vanishing.
     """
-    if not (float(band_width) > 0):  # also rejects NaN
+    # isfinite + > 0 rejects NaN, +-inf, 0, and negatives — inf slipped the
+    # old `> 0` check and folded every finite value into band 0 (round-7
+    # ADVICE: the guard must match the "positive finite" message)
+    if not (math.isfinite(float(band_width)) and float(band_width) > 0):
         raise ValueError(
             f"_banded_running_counts: band_width={band_width} must be a "
             "positive finite number (a negative width inverts band order "
-            "and silently corrupts every quantile gate)"
+            "and silently corrupts every quantile gate; an infinite width "
+            "folds every value into one band)"
         )
     v = F.col(value_col)
     finite_band = F.greatest(
@@ -204,11 +210,15 @@ def robust_stats(
     shuffles keyed on ``group_cols``. Tolerance-tested against each other
     in tests/test_robust_stats.py.
 
-    ``band_width`` (exact path) trades parallelism against the broadcast
-    offset frame exactly as in ``weighted_median``; when ``None`` it is
-    derived at BUILD time from an eager min/max aggregate over the
-    collapsed frame (~256 bands — one bounded-metadata job, marked the
-    EAGER-builder way per PLANS.md). ``collapse_values=False`` (exact
+    ``band_width`` (exact path): ``None`` RUNS A FULL SCAN OF ``df`` AT
+    CONSTRUCTION TIME — an eager min/max aggregate over the collapsed
+    frame derives ~256 bands before the caller ever triggers an action
+    (marked the EAGER-builder way per PLANS.md, but it is the one place
+    this otherwise-lazy operator API spends a data-sized job up front).
+    Passing an explicit width from domain knowledge (the q145 style) is
+    the recommended path at scale; it also trades parallelism against
+    the broadcast offset frame exactly as in ``weighted_median``.
+    ``collapse_values=False`` (exact
     path) skips the ``(group, value, count)`` collapse and runs the banded
     windows on raw unit-multiplicity rows — the right call when the value
     domain is near-unique and the collapse would shuffle full-width for no

@@ -25,6 +25,8 @@ reference in tests/test_weighted_median_property.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -54,11 +56,15 @@ def weighted_median(
     the value domain (for unknown domains derive bands from approx
     quantiles instead of a fixed width).
     """
-    if not (float(band_width) > 0):  # also rejects NaN
+    # isfinite + > 0 rejects NaN, +-inf, 0, and negatives — inf slipped the
+    # old `> 0` check and folded every finite value into band 0 (round-7
+    # ADVICE: the guard must match the "positive finite" message)
+    if not (math.isfinite(float(band_width)) and float(band_width) > 0):
         raise ValueError(
             f"weighted_median: band_width={band_width} must be a positive "
             "finite number (a negative width inverts band order and "
-            "silently corrupts the running-weight gate)"
+            "silently corrupts the running-weight gate; an infinite width "
+            "folds every value into one band)"
         )
     li = df.select(
         F.col(group_col).alias("g"),

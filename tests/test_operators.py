@@ -110,6 +110,21 @@ def test_ivf_unknown_query_ids(spark):
     assert out.collect() == []
 
 
+def test_kmeans_centroids_layout_independent(spark, sf_dir):
+    """E4 build determinism: the centroid fit samples rows via an
+    md5-threshold filter on the id (a pure row function), NOT Bernoulli
+    .sample() (whose draw depends on file partitioning) — so the SAME corpus
+    under ANY partitioning must fit byte-identical centroids. Guards the
+    reproducibility contract the q56 planted-cell oracle leans on."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    c1 = similarity.sampled_kmeans_centroids(e.repartition(1), n_clusters=8)
+    c8 = similarity.sampled_kmeans_centroids(e.repartition(8), n_clusters=8)
+    assert c1 is not None and c8 is not None
+    assert np.array_equal(c1, c8), "centroids drifted across partitionings"
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""

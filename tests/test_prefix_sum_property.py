@@ -75,6 +75,27 @@ def test_null_bucket_raises_clear_error(spark_global):
         bucketed_running_sum(df, "bk", ["ord", "tie"], "val")
 
 
+def test_near_distinct_bucket_raises_before_data_sized_collect(spark_global):
+    """A near-distinct bucket_col would silently turn the per-bucket offset
+    collect into a data-sized driver pull. The job itself is bounded with
+    limit(MAX_BUCKETS + 1) and the overflow rejected loudly — the same
+    contract its eager-builder siblings enforce (frontier.skyline_2d,
+    sampling.stratified_budget_sample)."""
+    import pytest
+
+    from mrcond_spark.operators.prefix_sum import MAX_BUCKETS
+
+    n = MAX_BUCKETS + 100
+    df = spark_global.range(n).select(
+        F.col("id").alias("tie"),
+        F.col("id").alias("ord"),
+        F.lit(1).alias("val"),
+        F.col("id").cast("string").alias("bk"),  # one bucket per row
+    )
+    with pytest.raises(ValueError, match="more than"):
+        bucketed_running_sum(df, "bk", ["ord", "tie"], "val")
+
+
 def test_materialize_option_matches_recompute(spark_global):
     """materialize=True (single stored read of the input lineage) must be
     value-identical to the default two-scan path."""

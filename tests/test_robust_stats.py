@@ -223,3 +223,20 @@ def test_negative_band_width_raises(spark):
     wdf = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
     with pytest.raises(ValueError, match="band_width"):
         weighted_median(wdf, "g", "v", "w", band_width=-1.0).collect()
+
+
+def test_non_finite_band_width_raises(spark):
+    """float('inf') > 0 is True, so the old bare `> 0` guard let an infinite
+    width through (round-7 ADVICE) — it folded every finite value into band
+    0, defeating the banded parallelism while the error message claimed
+    'positive finite'. The guard must reject inf and NaN explicitly, in both
+    the stats and the weighted_median variants."""
+    from mrcond_spark.operators.weighted import weighted_median
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    wdf = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
+    for bad in (float("inf"), float("-inf"), float("nan"), 0.0):
+        with pytest.raises(ValueError, match="band_width"):
+            robust_stats(df, ["g"], "v", exact=True, band_width=bad).collect()
+        with pytest.raises(ValueError, match="band_width"):
+            weighted_median(wdf, "g", "v", "w", band_width=bad).collect()
