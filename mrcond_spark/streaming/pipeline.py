@@ -62,7 +62,11 @@ def start_cdc_query(
         # terminal detection costs nothing extra on the hot path. Arrow
         # toPandas beats a pickled-Row collect ~2x on the driver-side drain —
         # the drain is the serial section of the queue contract, so its
-        # constant factor IS the throughput ceiling per queue.
+        # constant factor IS the throughput ceiling per queue: measured
+        # 9.5k-14.1k ev/s single-queue (PERF.md "Per-queue CDC publish
+        # ceiling" — the one intentional driver-side data path; scale axis
+        # is per-collection fan-out, R8, per the reference's per-queue
+        # ordering contract e2e.rs:413).
         pdf = to_payload(batch_df, include_operation=True).orderBy(F.col("_token")).toPandas()
         if len(pdf):
             try:

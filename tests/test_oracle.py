@@ -128,8 +128,24 @@ def test_bench_summary_line_fits_driver_tail_window():
         ), "query-number keys must stay unique"
         for i in range(n_phantom):
             timings[f"q{900 + i}_phantom"] = 9.9
+        # worst-case streaming adornments too: all four figures
+        # storm-retried to max attempts AND flagged slow
         return build_summary_line(
-            timings, 99999.999, "0.1", 0, 99999.9, 99999.9, 99999.9, 99999.9
+            timings,
+            99999.999,
+            "0.1",
+            0,
+            99999.9,
+            99999.9,
+            99999.9,
+            99999.9,
+            stream_attempts={"cdc": 9, "win": 9, "ses": 9, "ssj": 9},
+            stream_low={
+                "cdc": [9.9, 9.9],
+                "win": [9.9, 9.9],
+                "ses": [9.9, 9.9],
+                "ssj": [9.9, 9.9],
+            },
         )
 
     for n_phantom in (0, 20, 60):
