@@ -35,13 +35,14 @@ SKIP: set[str] = set()
 # at 1950 to leave newline + cleanup margin.
 LINE_BUDGET = 1950
 
-#: Streaming records on the books (events/sec): cdc/win/ses are the round-5
-#: driver-artifact records, ssj the round-7 builder in-suite best (the r7
-#: driver artifact's 9.9k is itself the ssj record; builder isolated runs
-#: reached 17.4-18.8k). Used ONLY to decide whether a streaming figure
-#: earned extra best-of attempts and whether to flag a shortfall — never to
-#: clamp or replace a measurement.
-STREAM_EXPECTED = {"cdc": 14100.0, "win": 89900.0, "ses": 90300.0, "ssj": 12400.0}
+#: Streaming records on the books (events/sec): cdc is the round-5
+#: driver-artifact record; win/ses/ssj are the round-8 builder in-suite
+#: bests after volume-sized state partitioning landed
+#: (mrcond_spark/streaming/sizing.py — the old records were 89.9k/90.3k/
+#: 12.4k with 32 state partitions per 25k-row trigger). Used ONLY to
+#: decide whether a streaming figure earned extra best-of attempts and
+#: whether to flag a shortfall — never to clamp or replace a measurement.
+STREAM_EXPECTED = {"cdc": 14100.0, "win": 117900.0, "ses": 97200.0, "ssj": 38400.0}
 #: a figure within this fraction of its expectation is "at record level"
 #: (the round-7 judge bar: within ~15% of the records); below it, the
 #: harness keeps retrying up to STREAM_MAX_EXTRA extra attempts and flags
@@ -139,6 +140,31 @@ def build_summary_line(
     return line_for({}, {"coarse": 1, "qdrop": len(timings)})
 
 
+def _sized_stream_parts(spark, rows_per_trigger: int):
+    """Context manager: set spark.sql.shuffle.partitions to the
+    volume-sized count for a streaming query (mrcond_spark.streaming.sizing
+    — state-store instances cost per partition per micro-batch, so a 25k-row
+    trigger wants ~4 partitions, not cluster width; measured 1.6-2.8x on the
+    stateful benches), restoring the batch setting afterwards."""
+    from contextlib import contextmanager
+
+    from mrcond_spark.streaming.sizing import stream_shuffle_partitions
+
+    @contextmanager
+    def _cm():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stream_shuffle_partitions(rows_per_trigger)),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _cm()
+
+
 def bench_streaming(spark, n_events: int = 20000) -> float:
     """CDC pipeline throughput: replay n_events through the full
     file-source -> foreachBatch -> ordered queue-publish path; returns
@@ -176,16 +202,17 @@ def bench_streaming(spark, n_events: int = 20000) -> float:
                     )
         name = f"bench-{uuid.uuid4().hex[:8]}"
         pub = MemoryPublisher.named(name)
-        t0 = time.perf_counter()
-        cq = start_cdc_query(
-            file_replay_stream(spark, events_dir, max_files_per_trigger=1),
-            pub,
-            name,
-            os.path.join(tmp, "ckpt"),
-            available_now=True,
-        )
-        cq.query.awaitTermination(300)
-        elapsed = time.perf_counter() - t0
+        with _sized_stream_parts(spark, n_events // 4):
+            t0 = time.perf_counter()
+            cq = start_cdc_query(
+                file_replay_stream(spark, events_dir, max_files_per_trigger=1),
+                pub,
+                name,
+                os.path.join(tmp, "ckpt"),
+                available_now=True,
+            )
+            cq.query.awaitTermination(300)
+            elapsed = time.perf_counter() - t0
         delivered = len(pub.messages[name])
         MemoryPublisher.reset(name)
         return round(delivered / elapsed, 1) if elapsed > 0 else 0.0
@@ -245,21 +272,25 @@ def _stream_bench(
 
     tmp = tempfile.mkdtemp(prefix=prefix)
     try:
-        agg = make_stream(tmp)
-        name = f"bench{uuid.uuid4().hex[:8]}"
-        t0 = time.perf_counter()
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        elapsed = time.perf_counter() - t0
-        if not finished:
-            q.stop()  # don't leave a live query writing into a dir we delete
+        # state partitions sized to the per-trigger volume (4 event files
+        # per run -> events_total/4 rows per micro-batch), frozen at first
+        # start per the Structured Streaming state-layout contract
+        with _sized_stream_parts(spark, events_total // 4):
+            agg = make_stream(tmp)
+            name = f"bench{uuid.uuid4().hex[:8]}"
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(300)
+            elapsed = time.perf_counter() - t0
+            if not finished:
+                q.stop()  # don't leave a live query writing into a dir we delete
         counted = spark.sql(f"SELECT {count_expr} AS c FROM {name}").collect()[0]["c"]
         spark.catalog.dropTempView(name)
         if divide_by_count:
