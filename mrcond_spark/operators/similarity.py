@@ -207,8 +207,12 @@ def sampled_kmeans_centroids(
     n_rows = embeddings.count()
     frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
     # layout-independent ~frac sample: md5("kmeans{seed}:" + id) -> 60-bit
-    # int; keep rows whose hash bucket (out of 2^20) is under frac * 2^20
-    denom = 1 << 20
+    # int; keep rows whose hash bucket (out of 2^40) is under frac * 2^40.
+    # 2^40 resolution keeps the integer threshold meaningful out to
+    # ~5e15-row corpora (a 2^20 denominator truncated to ZERO kept rows
+    # past ~5e9 rows — a silent no-index cliff at exactly the scale this
+    # build path exists for); max(1, ...) guards the residual rounding.
+    denom = 1 << 40
     hk = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"kmeans{seed}:"), F.col(id_col).cast("string"))),
@@ -219,12 +223,18 @@ def sampled_kmeans_centroids(
         10,
     ).cast("long")
     sample_rows = (
-        embeddings.filter((hk % denom) < int(frac * denom))
+        embeddings.filter((hk % denom) < max(1, int(frac * denom)))
         .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("nv"))
         .collect()
     )
+    # tie-break the sort on the vector too: ids SHOULD be unique, but a
+    # duplicated id would otherwise keep the partition-dependent collect()
+    # order under Python's stable sort and break the determinism contract
     sample = np.array(
-        [r["nv"] for r in sorted(sample_rows, key=lambda r: r["sid"])],
+        [
+            r["nv"]
+            for r in sorted(sample_rows, key=lambda r: (r["sid"], tuple(r["nv"])))
+        ],
         dtype="float64",
     )
     if len(sample) == 0:

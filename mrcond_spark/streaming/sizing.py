@@ -5,19 +5,22 @@ FIRST micro-batch from ``spark.sql.shuffle.partitions`` — and every
 stateful operator then opens, commits, and snapshots one state store PER
 PARTITION PER MICRO-BATCH, regardless of how few rows each holds. For
 small-to-medium micro-batches that fixed overhead dominates: measured on
-this host (local[32], 25k-row triggers, best-of-2 at each setting),
+this host (local[32], a single 100k-row availableNow batch per run —
+verified with recentProgress: the file source with no maxFilesPerTrigger
+drains every file in ONE batch — best-of-2 at each setting),
 
     partitions:            32        4       ratio
     windowed agg        67.1k   134.3k ev/s   2.0x
     session windows     66.6k   109.6k ev/s   1.6x
     stream-stream join  11.7k    33.1k ev/s   2.8x
 
-— same code, same data; the only change is not paying 32 state-store
-commits to aggregate 25k rows. The rule is the spill-aware sizing
-guidance applied to streams: pick partitions from EXPECTED ROWS PER
-TRIGGER, not from cluster width. At 100 TB-scale ingest (millions of
-rows per trigger) the same rule returns large counts and the cap below
-is what binds; for replay/backfill/bench triggers it returns small ones.
+— same code, same data; the only change is not splitting a 100k-row
+aggregation into 32 state-store commits of ~3k rows each. The rule is
+the spill-aware sizing guidance applied to streams: pick partitions from
+EXPECTED ROWS PER TRIGGER, not from cluster width. At 100 TB-scale
+ingest (millions of rows per trigger) the same rule returns large counts
+and the cap below is what binds; for replay/backfill/bench triggers it
+returns small ones.
 
 The batch corpus is unaffected — this module is consulted by streaming
 entry points only (state partitioning is a per-query, set-before-start
@@ -28,10 +31,12 @@ from __future__ import annotations
 
 import math
 
-#: target rows per state task. Small enough that a task's state slice is
-#: trivially memory-safe, large enough that per-task/state-store fixed
-#: costs amortize (the A/B above: 25k rows -> 4 tasks of ~6k).
-ROWS_PER_TASK = 8192
+#: target rows per state task — calibrated so the measured optimum above
+#: falls out of the rule (100k-row trigger -> 4 tasks of ~25k; the sweep
+#: also tried 2/6/8/16/32 partitions at that volume and 4 won). Small
+#: enough that a task's state slice is trivially memory-safe, large
+#: enough that per-task/state-store fixed costs amortize.
+ROWS_PER_TASK = 32768
 
 
 def stream_shuffle_partitions(

@@ -12,7 +12,7 @@ shuffle partition per micro-batch, and the partition count FREEZES into the
 query's state layout at first start. Set ``spark.sql.shuffle.partitions``
 from the expected per-trigger volume BEFORE starting the query —
 ``streaming/sizing.stream_shuffle_partitions`` is the measured rule
-(1.6-2.8x throughput on 25k-row triggers going 32 -> 4 partitions;
+(1.6-2.8x throughput on 100k-row triggers going 32 -> 4 partitions;
 PERF.md "Size streaming state partitions to per-trigger volume").
 """
 

@@ -123,6 +123,29 @@ def test_stream_persistent_shortfall_is_flagged_with_attempts():
     assert low == {"cdc": [0.6 * exp, exp]}
 
 
+def test_stream_attempts_recorded_incrementally_through_raise():
+    """A retry that raises mid-figure must leave the real attempt count in
+    attempts_out (the satt discount signal), not an error-path 0."""
+    import pytest
+
+    exp = bench.STREAM_EXPECTED["cdc"]
+    samples = iter([0.6 * exp, 0.6 * exp, RuntimeError("storm kill")])
+
+    def timed():
+        s = next(samples)
+        if isinstance(s, Exception):
+            raise s
+        return s
+
+    att, low = {}, {}
+    with pytest.raises(RuntimeError):
+        bench.stream_best_of("cdc", timed, 2, att, low)
+    assert att["cdc"] == 3  # two base samples + the attempt that raised
+    # and the error path's setdefault must not clobber it
+    att.setdefault("cdc", 0)
+    assert att["cdc"] == 3
+
+
 def test_stream_at_record_level_takes_no_extra_attempts():
     exp = bench.STREAM_EXPECTED["cdc"]
     best, attempts, low = _drive_stream_best_of([exp, 0.9 * exp])
@@ -134,19 +157,20 @@ def test_stream_at_record_level_takes_no_extra_attempts():
 def test_stream_shuffle_partition_sizing():
     """Partitions follow declared per-trigger volume, not cluster width:
     state stores cost per partition per micro-batch (measured 1.6-2.8x on
-    the stateful benches going 32 -> 4 partitions at 25k-row triggers)."""
+    the stateful benches going 32 -> 4 partitions at the single 100k-row
+    availableNow batch the file source actually produces)."""
     import pytest
 
     from mrcond_spark.streaming.sizing import stream_shuffle_partitions
 
-    assert stream_shuffle_partitions(25_000) == 4  # the bench trigger size
+    assert stream_shuffle_partitions(100_000) == 4  # the bench trigger size
     assert stream_shuffle_partitions(5_000) == 1  # CDC bench trigger
     assert stream_shuffle_partitions(0) == 1
-    assert stream_shuffle_partitions(8192) == 1
-    assert stream_shuffle_partitions(8193) == 2
+    assert stream_shuffle_partitions(32_768) == 1
+    assert stream_shuffle_partitions(32_769) == 2
     # 100 TB-scale trigger: the rule scales out, and max_parts binds
-    assert stream_shuffle_partitions(10_000_000) == 1221
-    assert stream_shuffle_partitions(10_000_000, max_parts=512) == 512
+    assert stream_shuffle_partitions(10_000_000) == 306
+    assert stream_shuffle_partitions(10_000_000, max_parts=128) == 128
     with pytest.raises(ValueError, match="rows_per_trigger"):
         stream_shuffle_partitions(-1)
     with pytest.raises(ValueError, match="positive"):
@@ -172,11 +196,11 @@ def test_sized_stream_parts_sets_and_restores_conf():
         conf = _Conf()
 
     spark = _Spark()
-    with bench._sized_stream_parts(spark, 25_000):
+    with bench._sized_stream_parts(spark, 100_000):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     with pytest.raises(RuntimeError):
-        with bench._sized_stream_parts(spark, 25_000):
+        with bench._sized_stream_parts(spark, 100_000):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
 
