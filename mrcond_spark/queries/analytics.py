@@ -701,9 +701,15 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
 #: support gate is THE shared knob; both queries must see the same graph.
 COPURCHASE_SUPPORT = 2
 
-COPURCHASE_EDGES_SQL = """items AS (
+#: AS MATERIALIZED matters: DuckDB INLINES a CTE into every reference site,
+#: so a chain where each stage references the previous one twice (the k-core
+#: rounds; the triangle join references edges three times) re-expands the
+#: whole upstream tree per reference — 2^rounds copies of the quadratic
+#: pair-gen for q132, which planned/ran for >400 s and spilled at sf0.1.
+#: Materialized, the full q132 oracle runs in ~0.5 s on the same input.
+COPURCHASE_EDGES_SQL = """items AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT a.pk AS u, b.pk AS v
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         GROUP BY a.pk, b.pk
@@ -1127,20 +1133,25 @@ KCORE_ROUNDS = 6  # converges in 3 (sf0.01) / 5 (sf0.1) peels; 6 adds margin
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
-    head = "\n    WITH " + COPURCHASE_EDGES_SQL + """, adj AS (
+    # every chain CTE MATERIALIZED: each round references the previous
+    # round's survivor set twice, so DuckDB's reference-site inlining would
+    # otherwise re-expand the upstream tree 2^rounds times (see the
+    # COPURCHASE_EDGES_SQL note — the >400 s / temp-spill failure mode of
+    # the round-7 sf0.1 sweep; materialized it runs in ~0.5 s)
+    head = "\n    WITH " + COPURCHASE_EDGES_SQL + """, adj AS MATERIALIZED (
         SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
-    ), a0 AS (
+    ), a0 AS MATERIALIZED (
         SELECT DISTINCT u AS node FROM adj
     )"""
     stages = []
     for r in range(1, rounds + 1):
-        stages.append(f""", d{r} AS (
+        stages.append(f""", d{r} AS MATERIALIZED (
         SELECT adj.u AS node, COUNT(*) AS deg
         FROM adj
         JOIN a{r - 1} x ON adj.u = x.node
         JOIN a{r - 1} y ON adj.v = y.node
         GROUP BY adj.u
-    ), a{r} AS (
+    ), a{r} AS MATERIALIZED (
         SELECT node FROM d{r} WHERE deg >= {k}
     )""")
     tail = f""", dfin AS (
