@@ -369,6 +369,8 @@ def stream_best_of(
     n_base: int,
     attempts_out: dict[str, int],
     low_out: dict[str, list[float]],
+    errors_out: dict[str, str] | None = None,
+    err_key: str | None = None,
 ) -> float:
     """Best-of-n_base, then keep retrying while the best figure sits below
     (1 - STREAM_TOL) x its record-level expectation (STREAM_EXPECTED), up
@@ -386,17 +388,38 @@ def stream_best_of(
     recorded as measured."""
     expected_eps = STREAM_EXPECTED[short]
     floor = (1.0 - STREAM_TOL) * expected_eps
-    # attempts recorded INCREMENTALLY: if a retry raises mid-figure, the
-    # satt key still reports how many timed runs actually executed rather
-    # than the error path's 0 (which would read as a clean fixed-N run).
+    # attempts recorded INCREMENTALLY: if a run raises mid-figure, the satt
+    # key still reports how many timed runs actually executed rather than
+    # the error path's 0 (which would read as a clean fixed-N run). And a
+    # raise AFTER at least one successful sample must not discard the real
+    # measurements already taken: it stops the figure, keeps the best, and
+    # records the error (a raise before ANY sample propagates — there is no
+    # measurement to preserve, the caller's error path owns it).
     attempts = 0
     best = 0.0
+    got_sample = False
+
+    def attempt() -> bool:
+        nonlocal attempts, best, got_sample
+        attempts_out[short] = attempts = attempts + 1
+        try:
+            best = max(best, timed())
+            got_sample = True
+            return True
+        except Exception as e:  # noqa: BLE001 — artifact-preservation rule
+            if not got_sample:
+                raise
+            if errors_out is not None:
+                errors_out[err_key or short] = f"{type(e).__name__}: {e}"[:120]
+            return False
+
     for _ in range(n_base):
-        attempts_out[short] = attempts = attempts + 1
-        best = max(best, timed())
-    while best < floor and attempts < n_base + STREAM_MAX_EXTRA:
-        attempts_out[short] = attempts = attempts + 1
-        best = max(best, timed())
+        if not attempt():
+            break
+    else:
+        while best < floor and attempts < n_base + STREAM_MAX_EXTRA:
+            if not attempt():
+                break
     if best < floor:
         low_out[short] = [best, expected_eps]
     return best
@@ -538,11 +561,20 @@ def main() -> None:
 
     def stream_figure(short, err_key, warm, timed, n_base):
         """Warm once, then record the floor-retried best-of (see
-        stream_best_of); a raising bench records 0.0 plus the error rather
-        than costing the round its whole artifact."""
+        stream_best_of). A raise before any sample records 0.0 plus the
+        error; a raise after a sample keeps the real measurements and the
+        error side by side — either way the round keeps its artifact."""
         try:
             warm()
-            return stream_best_of(short, timed, n_base, stream_attempts, stream_low)
+            return stream_best_of(
+                short,
+                timed,
+                n_base,
+                stream_attempts,
+                stream_low,
+                errors_out=stream_errors,
+                err_key=err_key,
+            )
         except Exception as e:  # noqa: BLE001 — artifact-preservation rule
             stream_errors[err_key] = f"{type(e).__name__}: {e}"[:120]
             stream_attempts.setdefault(short, 0)

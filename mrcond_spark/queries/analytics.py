@@ -707,13 +707,13 @@ COPURCHASE_SUPPORT = 2
 #: whole upstream tree per reference — 2^rounds copies of the quadratic
 #: pair-gen for q132, which planned/ran for >400 s and spilled at sf0.1.
 #: Materialized, the full q132 oracle runs in ~0.5 s on the same input.
-COPURCHASE_EDGES_SQL = """items AS MATERIALIZED (
+COPURCHASE_EDGES_SQL = f"""items AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ), edges AS MATERIALIZED (
         SELECT a.pk AS u, b.pk AS v
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         GROUP BY a.pk, b.pk
-        HAVING COUNT(*) >= 2
+        HAVING COUNT(*) >= {COPURCHASE_SUPPORT}
     )"""
 
 
@@ -736,7 +736,7 @@ def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q120_copurchase_triangles",
-    oracle="WITH " + COPURCHASE_EDGES_SQL + """, tri AS (
+    oracle="WITH " + COPURCHASE_EDGES_SQL + """, tri AS MATERIALIZED (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM edges e1
         JOIN edges e2 ON e1.v = e2.u

@@ -31,11 +31,14 @@ from __future__ import annotations
 
 import math
 
-#: target rows per state task — calibrated so the measured optimum above
-#: falls out of the rule (100k-row trigger -> 4 tasks of ~25k; the sweep
-#: also tried 2/6/8/16/32 partitions at that volume and 4 won). Small
-#: enough that a task's state slice is trivially memory-safe, large
-#: enough that per-task/state-store fixed costs amortize.
+#: target rows per state task — calibrated at the 100k-row bench volume
+#: (the sweep tried 2/4/6/8/16/32 partitions there and 4 won -> ~25k rows
+#: per task; honesty note: that is the ONE volume swept, so the constant is
+#: an interpolation anchor, not a universal optimum). At these event
+#: schemas a 32k-row state slice is single-digit MBs — comfortably
+#: memory-safe; deployments with wide rows or much larger triggers should
+#: pass their own ``rows_per_task``/``max_parts`` rather than trust the
+#: default across a 100x volume extrapolation.
 ROWS_PER_TASK = 32768
 
 

@@ -123,27 +123,44 @@ def test_stream_persistent_shortfall_is_flagged_with_attempts():
     assert low == {"cdc": [0.6 * exp, exp]}
 
 
-def test_stream_attempts_recorded_incrementally_through_raise():
-    """A retry that raises mid-figure must leave the real attempt count in
-    attempts_out (the satt discount signal), not an error-path 0."""
-    import pytest
-
-    exp = bench.STREAM_EXPECTED["cdc"]
-    samples = iter([0.6 * exp, 0.6 * exp, RuntimeError("storm kill")])
+def _raising_timed(samples):
+    it = iter(samples)
 
     def timed():
-        s = next(samples)
+        s = next(it)
         if isinstance(s, Exception):
             raise s
         return s
 
+    return timed
+
+
+def test_raise_after_samples_keeps_measurements_and_records_error():
+    """A retry that raises mid-figure must NOT discard the real samples
+    already taken: the figure keeps its best-so-far, the attempt count
+    reflects every run including the one that raised (the satt discount
+    signal), and the error is recorded alongside — not instead of — the
+    measurement."""
+    exp = bench.STREAM_EXPECTED["cdc"]
+    timed = _raising_timed([0.6 * exp, 0.6 * exp, RuntimeError("storm kill")])
+    att, low, errs = {}, {}, {}
+    best = bench.stream_best_of("cdc", timed, 2, att, low, errors_out=errs, err_key="_cdc")
+    assert best == 0.6 * exp  # the two real samples survive
+    assert att["cdc"] == 3  # two base samples + the attempt that raised
+    assert "storm kill" in errs["_cdc"]
+    assert low == {"cdc": [0.6 * exp, exp]}  # still honestly below floor
+
+
+def test_raise_before_any_sample_propagates():
+    """With no measurement to preserve, the first-attempt raise is the
+    caller's error path (stream_figure records 0.0 + the error)."""
+    import pytest
+
+    timed = _raising_timed([RuntimeError("dead sink")])
     att, low = {}, {}
     with pytest.raises(RuntimeError):
         bench.stream_best_of("cdc", timed, 2, att, low)
-    assert att["cdc"] == 3  # two base samples + the attempt that raised
-    # and the error path's setdefault must not clobber it
-    att.setdefault("cdc", 0)
-    assert att["cdc"] == 3
+    assert att["cdc"] == 1  # the attempt that raised is still counted
 
 
 def test_stream_at_record_level_takes_no_extra_attempts():
