@@ -201,10 +201,24 @@ def sampled_kmeans_centroids(
     fitted centroids are identical for identical (id, vector) contents under
     ANY partitioning. The sample rows are additionally sorted by id before
     the fit so the Lloyd iterations see a deterministic row order.
+
+    ``id_col`` must be NULL-free: a NULL id has no deterministic hash
+    (md5(concat(...NULL)) is NULL, which would silently drop the row from
+    the fit), so the function raises instead — the same loud-on-NULL-keys
+    contract as ``prefix_sum.bucketed_running_sum``.
     """
     import numpy as np
 
-    n_rows = embeddings.count()
+    n_rows, n_ids = embeddings.agg(
+        F.count(F.lit(1)), F.count(F.col(id_col))
+    ).first()
+    if n_ids < n_rows:
+        raise ValueError(
+            f"sampled_kmeans_centroids: id_col {id_col!r} has "
+            f"{n_rows - n_ids} NULL row(s) — NULL ids cannot be hash-sampled "
+            "deterministically (they would be silently excluded from the "
+            "centroid fit); assign unique non-NULL ids first"
+        )
     frac = min(1.0, (fit_sample * 1.2) / max(n_rows, 1))
     # layout-independent ~frac sample: md5("kmeans{seed}:" + id) -> 60-bit
     # int; keep rows whose hash bucket (out of 2^40) is under frac * 2^40.

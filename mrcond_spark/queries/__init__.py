@@ -61,23 +61,30 @@ def register(
 #: q154 q157 q159 q165 q166 q167 q170 q175 q177 q180 q182 q184); zero
 #: red-on-record rows remain anywhere in the ledger, attestation debt
 #: 69→52.
-#: Round 8 rotates those seventeen OUT (all driver-green in
-#: CORRECTNESS_r07) and rotates IN the round-7 judge's priority list
-#: verbatim — exactly 17 names: q125 BM25 (the r7 rotation miss), the
-#: six unattested TPC-H composites q171 q172 q173 q174 q176 q178 q179
-#: (seven with q172), q181 repeated spans (ExactSubstr prep), q183/q185
-#: drift, q152/q163 splits (the governance pair q153 depends on), q117
-#: boilerplate removal, q134 table profile, q120 triangles, q143
-#: z-order. Operator coverage across the swap: B23 (was q177-only) →
-#: q171/q179/q185; B25 (was q177-only) → q176/q178; B16 (was
-#: q166/q170) → q185; B22 keeps fixed q21; B26 (was q157/q114/q180) →
-#: q181; every other tag keeps a fixed-block representative.
-#: Remaining round-9 rotation pool (oracle-bearing, builder-green, no
-#: driver verdict yet): q107–q111, q113, q115, q116, q121, q122, q124,
-#: q126, q128–q131, q133, q135–q139, q141, q142, q147, q150, the
-#: governance remainder q155 q156 q158 q160–q162, q164 applyInArrow,
-#: q168 per-group OLS, q169 stratified budget sample — 35 queries,
-#: ~two more rounds at ~17 slots.
+#: Round 8 rotated in the round-7 judge's priority list verbatim (q125
+#: BM25, the TPC-H composites q171–q174/q176/q178/q179, q181, q183,
+#: q185, q152/q163, q117, q134, q120, q143) — all seventeen went
+#: driver-green in CORRECTNESS_r08 (49/49 oracle-checkable rows),
+#: attestation debt 52→35.
+#: Round 9 rotates those seventeen OUT (all driver-green r8) and
+#: rotates IN the round-8 judge's priority list verbatim — exactly 17
+#: names: q164 applyInArrow (the E7 tier's only unattested rep), the
+#: drift/stats tier q133 CUSUM / q141 KL drift / q115 z-score outliers,
+#: q116 salted shuffle join, the vector pair q107 centroids / q111 int8
+#: quantization, q108 PMI, q109 width_bucket histogram, q110 TWAP,
+#: q128 max drawdown, q129 SCD2, q131 session paths, q135 boolean
+#: retrieval, q147 trailing RANGE frame, q150 interval union, q113
+#: Markov transitions. Operator coverage across the swap: B23 (was
+#: q171/q179/q185) → q110/q129/q131/q147/q150; B25 (was q176/q178) →
+#: q115/q109; B16 (was q185) → q110/q113/q128/q129/q131/q133/q147/q150;
+#: B26 (was q181) → q107/q111; E3/E4 keep fixed q41/q49/q54 plus
+#: q107/q111; every other tag keeps a fixed-block representative
+#: (test_driver_window_covers_every_operator re-audited green).
+#: Remaining round-10 rotation pool (oracle-bearing, builder-green, no
+#: driver verdict yet): q121, q122, q124, q126, q130, q136–q139, q142,
+#: the governance remainder q155 q156 q158 q160–q162, q168 per-group
+#: OLS, q169 stratified budget sample — 18 queries, one more round at
+#: 17 slots plus one swap retires the debt.
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -128,25 +135,25 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-8 rotation slots (round-7 judge priority list, verbatim —
+    # round-9 rotation slots (round-8 judge priority list, verbatim —
     # see ROTATION note above for the operator-coverage audit)
-    "q125_bm25_topk",         # E5/B18 BM25 ranking (the r7 rotation miss)
-    "q171_tpch_q3_priority",  # B4/B11/B18/B23 TPC-H Q3 shipping priority
-    "q172_tpch_q18_volume",   # B28/B11/B14/B4 TPC-H Q18 large-volume cust
-    "q173_normal_equations",  # B11/B24 closed-form OLS via normal equations
-    "q174_tpch_q13_custdist", # B5/B11/B22 TPC-H Q13 customer distribution
-    "q176_tpch_q22_dormant",  # B28/B7/B11/B25 TPC-H Q22 global-acct subquery
-    "q178_tpch_q19_disjunct", # B3/B4/B25 TPC-H Q19 disjunctive predicates
-    "q179_tpch_q7_volume",    # B4/B11/B23 TPC-H Q7 cross-nation volume
-    "q181_repeated_spans",    # E5/E1/B26 repeated-span mining (ExactSubstr prep)
-    "q183_rank_sum_drift",    # B11/B15/B24 Mann-Whitney rank-sum drift
-    "q185_transition_matrix", # B15/B16/B23 event transition matrix
-    "q152_train_val_split",   # E5/B11 md5-hash deterministic splits
-    "q163_group_split",       # E5/B11/B12 group-level leakage-proof split
-    "q117_boilerplate_removal",  # E1/E5 within-domain boilerplate lines
-    "q134_table_profile",     # B11/B12/B22 whole-table profiling
-    "q120_copurchase_triangles",  # B4/B11/E5 triangle counting
-    "q143_zorder_layout",     # B11/B24 z-order interleave layout audit
+    "q164_arrow_grouped_hist",  # E7 applyInArrow (the tier's only unattested rep)
+    "q133_cusum_shift",       # E5/E7/B16 CUSUM change-point detection
+    "q141_token_kl_drift",    # E5/B11 token-distribution KL drift
+    "q115_zscore_outliers",   # B11/B24/B25 per-group z-score outliers
+    "q116_salted_join",       # B4/B11 salted skew-join
+    "q107_embedding_centroids",  # E3/E4/B26 per-category embedding centroids
+    "q108_pmi_collocations",  # E5/B18 PMI collocation mining
+    "q109_acctbal_histogram", # B24/B25/B11 width_bucket histogram
+    "q110_twap",              # B16/B23/B11 time-weighted average price
+    "q111_vector_quantize",   # E3/E4/B26 int8 quantization audit
+    "q128_max_drawdown",      # B16/B11 running-peak max drawdown
+    "q129_scd2_history",      # B15/B16/B23 SCD2 validity intervals
+    "q131_session_paths",     # B15/B16/B23/B18 top session event paths
+    "q135_boolean_retrieval", # E5/B6/B7 AND/NOT boolean retrieval
+    "q147_trailing_window",   # B16/B23 trailing RANGE frame average
+    "q150_interval_coverage", # B16/B23/B11 interval union/coverage
+    "q113_markov_transitions",  # B15/B16/B11 Markov transition probabilities
 )
 
 

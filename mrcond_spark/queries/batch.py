@@ -2523,9 +2523,10 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
     "qualifying orders. Exercises agg-as-semi-join-filter — the pattern "
     "where a grouped predicate prunes a fact join. 100 TB: the "
     "qualifying-key set is tiny by construction (HAVING > 300 units), so "
-    "Spark broadcasts it into BOTH fact scans (left-semi) before the "
-    "orderkey shuffle; the re-aggregation reuses the same l_orderkey "
-    "key; top-100 is a TakeOrdered. Quantities aggregate in "
+    "Spark broadcasts it into the orders scan (left-semi); lineitem is "
+    "gated transitively through the subsequent orderkey join rather than "
+    "by a second direct semi-join; the re-aggregation reuses the same "
+    "l_orderkey key; top-100 is a TakeOrdered. Quantities aggregate in "
     "DECIMAL(18,2) on both engines; o_totalprice passes through "
     "untouched (no float arithmetic to diverge).",
     tags=("B28", "B11", "B14", "B4"),

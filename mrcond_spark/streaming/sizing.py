@@ -73,7 +73,13 @@ def stream_shuffle_partitions(
             "stream_shuffle_partitions: rows_per_task and min_parts must be "
             f"positive (got {rows_per_task}, {min_parts})"
         )
+    if max_parts is not None and max_parts < min_parts:
+        raise ValueError(
+            f"stream_shuffle_partitions: max_parts={max_parts} < "
+            f"min_parts={min_parts} — contradictory bounds (a silent "
+            "resolution would hide a config error)"
+        )
     parts = max(min_parts, math.ceil(rows_per_trigger / rows_per_task))
     if max_parts is not None:
-        parts = min(parts, max(max_parts, min_parts))
+        parts = min(parts, max_parts)
     return parts

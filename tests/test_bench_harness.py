@@ -192,6 +192,11 @@ def test_stream_shuffle_partition_sizing():
         stream_shuffle_partitions(-1)
     with pytest.raises(ValueError, match="positive"):
         stream_shuffle_partitions(10, rows_per_task=0)
+    # contradictory bounds raise loudly instead of silently resolving
+    with pytest.raises(ValueError, match="contradictory"):
+        stream_shuffle_partitions(100_000, min_parts=8, max_parts=4)
+    # a consistent pair still clamps both ways
+    assert stream_shuffle_partitions(100_000, min_parts=8, max_parts=8) == 8
 
 
 def test_sized_stream_parts_sets_and_restores_conf():
@@ -242,7 +247,11 @@ def test_summary_line_carries_attempts_and_slow_flags():
     parsed = json.loads(line)
     assert parsed["satt"] == [3, 2, 6, 2]
     assert parsed["slow"] == ["ses"]
-    # and both stay OFF the line when streaming ran clean at fixed N
+    # In REAL runs main() records attempts for every figure unconditionally,
+    # so "satt" is always on the line (auditable best-of inflation) and only
+    # "slow" is conditionally absent. The omitted-stream_attempts case below
+    # pins the API's None default (used by the line-budget worst-case tests),
+    # not a runtime path.
     clean = json.loads(
         bench.build_summary_line({"q01_x": 1.0}, 1.0, "0.1", 0, 1.0, 1.0, 1.0, 1.0)
     )

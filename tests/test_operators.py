@@ -125,6 +125,19 @@ def test_kmeans_centroids_layout_independent(spark, sf_dir):
     assert np.array_equal(c1, c8), "centroids drifted across partitionings"
 
 
+def test_kmeans_centroids_null_id_raises(spark):
+    """E4 contract: a NULL id has no deterministic hash (md5(concat(NULL))
+    is NULL) and would be silently dropped from the centroid fit; the
+    builder raises loudly instead — the same contract as
+    prefix_sum.bucketed_running_sum's NULL-key guard."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)] + [(None, [99.0, 1.0])]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="NULL"):
+        similarity.sampled_kmeans_centroids(e, n_clusters=2)
+
+
 def test_minhash_planted_duplicate_recall(spark):
     """E2: MinHash-LSH must surface planted near-duplicates (one token
     changed out of 40) and must not pair unrelated docs."""
