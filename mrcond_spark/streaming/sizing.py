@@ -33,12 +33,26 @@ import math
 
 #: target rows per state task — calibrated at the 100k-row bench volume
 #: (the sweep tried 2/4/6/8/16/32 partitions there and 4 won -> ~25k rows
-#: per task; honesty note: that is the ONE volume swept, so the constant is
-#: an interpolation anchor, not a universal optimum). At these event
-#: schemas a 32k-row state slice is single-digit MBs — comfortably
-#: memory-safe; deployments with wide rows or much larger triggers should
-#: pass their own ``rows_per_task``/``max_parts`` rather than trust the
-#: default across a 100x volume extrapolation.
+#: per task). ROUND-9 OFF-ANCHOR SWEEP (tools/sweep_sizing.py, windowed-agg
+#: shape, best-of-2 per setting, quiet host): the linear extrapolation does
+#: NOT hold — the throughput winner stayed FLAT at 4 partitions across
+#: 10k / 100k / 1M rows per trigger (the rule predicts 1 / 4 / 31; the
+#: prediction's throughput vs the winner's: 0.67x / 1.00x / 0.55x).
+#: Mechanism: for hash aggregations the state store holds GROUP PARTIALS
+#: (~300 window keys on this shape), so per-partition state volume never
+#: scales with input rows, while sub-second availableNow drains are
+#: fixed-overhead-bound — partitions beyond the plateau only multiply
+#: store open/commit/snapshot costs, and a single partition forfeits cheap
+#: task parallelism. The CDC drain path (driver-side serial) measured the
+#: other way: 1 partition best-of 14.2k ev/s vs 12.9k at 4 (overlapping
+#: spreads), so no blanket floor is warranted either. The constant
+#: therefore stays a MEMORY GUARDRAIL, exact only near its 100k anchor:
+#: for join/dedup state (where input rows DO land in the store) keep the
+#: rows-linear rule; for low-cardinality aggregations pass
+#: ``max_parts~=8`` (the measured plateau) — partitions above it buy
+#: nothing on any swept volume. Deployments with wide rows should still
+#: pass their own ``rows_per_task`` rather than trust a 100x
+#: extrapolation.
 ROWS_PER_TASK = 32768
 
 
