@@ -1,7 +1,24 @@
 """Simulate the driver: plain SparkSession, import __spark_entry__, smoke entry(),
-run every queries() entry at sf0.01, compare each oracle_sql() via DuckDB."""
+run queries() entries at a chosen scale factor, compare each oracle_sql() via DuckDB.
+
+Usage:
+    python tools/drive_contract.py                       # full corpus at sf0.01
+    python tools/drive_contract.py --sf /root/testdata/sf0.1 q107_... q111_...
+                                                         # scoped sf0.1 sweep
+
+With explicit query names only those run (and the entry() smoke is skipped —
+the scoped form exists for window sweeps, not driver simulation).
+"""
 import sys, time
 sys.path.insert(0, "/root/repo")
+
+args = sys.argv[1:]
+SF = "/root/testdata/sf0.01"
+if args and args[0] == "--sf":
+    SF = args[1]
+    args = args[2:]
+ONLY = set(args)
+
 from pyspark.sql import SparkSession
 import duckdb
 
@@ -12,17 +29,22 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
 
-df = E.entry(spark)
-rows = df.collect()
-print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
-assert len(rows) > 0
+if not ONLY:
+    df = E.entry(spark)
+    rows = df.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0
 
 qs, oracles = E.queries(), E.oracle_sql()
-print(f"queries: {len(qs)}, oracles: {len(oracles)}")
+print(f"queries: {len(qs)}, oracles: {len(oracles)}, sf_dir: {SF}")
 assert set(oracles) <= set(qs)
+if ONLY:
+    unknown = ONLY - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
+    qs = {n: f for n, f in qs.items() if n in ONLY}
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
