@@ -188,9 +188,12 @@ def sampled_kmeans_centroids(
 
     Returns a ``(n_clusters, dim)`` float64 numpy array, or ``None`` on an
     empty corpus (or a sample draw that missed every row). The build never
-    reads the full corpus: the count job is parquet-footer cheap, the sample
-    collect is the only data read, and Lloyd iterations run on <=~5k rows in
-    milliseconds.
+    reads the full corpus' VECTORS outside the sample: the counting job scans
+    only ``id_col`` (one narrow-column pass — the NULL-id guard needs the
+    column values, so it is no longer the parquet-footer-only count the
+    pre-guard version ran; budget one id-column scan per index build), the
+    sample collect is the only vector read, and Lloyd iterations run on
+    <=~5k rows in milliseconds.
 
     The sample is an md5-threshold row filter on ``id_col`` (the same
     deterministic-hash primitive as ``splits.split_assignment``), NOT

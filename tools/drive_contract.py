@@ -12,12 +12,22 @@ the scoped form exists for window sweeps, not driver simulation).
 import sys, time
 sys.path.insert(0, "/root/repo")
 
-args = sys.argv[1:]
 SF = "/root/testdata/sf0.01"
-if args and args[0] == "--sf":
-    SF = args[1]
-    args = args[2:]
-ONLY = set(args)
+names: list[str] = []
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    if argv[i] == "--sf":
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: drive_contract.py [--sf SF_DIR] [query_name ...]")
+        SF = argv[i + 1]
+        i += 2
+    elif argv[i].startswith("-"):
+        raise SystemExit(f"unknown flag {argv[i]!r}; usage: drive_contract.py [--sf SF_DIR] [query_name ...]")
+    else:
+        names.append(argv[i])
+        i += 1
+ONLY = set(names)
 
 from pyspark.sql import SparkSession
 import duckdb
@@ -36,13 +46,16 @@ if not ONLY:
     assert len(rows) > 0
 
 qs, oracles = E.queries(), E.oracle_sql()
-print(f"queries: {len(qs)}, oracles: {len(oracles)}, sf_dir: {SF}")
 assert set(oracles) <= set(qs)
 if ONLY:
     unknown = ONLY - set(qs)
     if unknown:
         raise SystemExit(f"unknown query names: {sorted(unknown)}")
     qs = {n: f for n, f in qs.items() if n in ONLY}
+    print(f"running: {len(qs)} of {len(E.queries())} queries (scoped), "
+          f"oracles: {sum(n in oracles for n in qs)}, sf_dir: {SF}")
+else:
+    print(f"queries: {len(qs)}, oracles: {len(oracles)}, sf_dir: {SF}")
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:

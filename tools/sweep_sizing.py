@@ -31,10 +31,13 @@ from mrcond_spark.streaming import windows  # noqa: E402
 from mrcond_spark.streaming.sizing import ROWS_PER_TASK  # noqa: E402
 
 
-def one_run(spark, n_events: int, parts: int) -> float:
-    """One windowed-agg drain at an explicit partition count; ev/s over what
-    the complete-mode snapshot aggregated (same honesty rule as
-    bench.bench_windowed_stream)."""
+def one_run(spark, n_events: int, parts: int) -> tuple[float, bool]:
+    """One windowed-agg drain at an explicit partition count; returns
+    (ev/s over what the complete-mode snapshot aggregated — same honesty
+    rule as bench.bench_windowed_stream, drain_finished). A timed-out drain
+    (awaitTermination cap hit) still yields a rate over the partial
+    snapshot, but the caller marks and excludes it so a truncated sample
+    can never be folded into the calibration record as a clean one."""
     tmp = tempfile.mkdtemp(prefix="sweep-sizing-")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -59,7 +62,8 @@ def one_run(spark, n_events: int, parts: int) -> float:
             q.stop()
         counted = spark.sql(f"SELECT COALESCE(SUM(cnt), 0) AS c FROM {name}").collect()[0]["c"]
         spark.catalog.dropTempView(name)
-        return round(counted / elapsed, 1) if elapsed > 0 else 0.0
+        rate = round(counted / elapsed, 1) if elapsed > 0 else 0.0
+        return rate, bool(finished)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -69,6 +73,11 @@ def main() -> None:
     volumes = [int(v) for v in sys.argv[1:]] or [10_000, 1_000_000]
     best_of = int(os.environ.get("SWEEP_BEST_OF", "2"))
     spark = get_spark(app_name="sweep-sizing")
+    # warm-up: one discarded drain so the first graded cell (the lowest
+    # partition count at the first volume — exactly the rule's predicted
+    # winner at small volumes) doesn't pay the process's JVM/codegen
+    # cold-start while every later cell runs warm
+    one_run(spark, min(volumes), 4)
     for n in volumes:
         predicted = max(1, math.ceil(n / ROWS_PER_TASK))
         # candidate grid: the prediction, its neighbors, and the old
@@ -78,10 +87,19 @@ def main() -> None:
         )
         results: dict[int, float] = {}
         for p in cand:
-            samples = [one_run(spark, n, p) for _ in range(best_of)]
-            results[p] = max(samples)
+            runs = [one_run(spark, n, p) for _ in range(best_of)]
+            clean = [r for r, fin in runs if fin]
+            results[p] = max(clean) if clean else 0.0
             print(
-                json.dumps({"volume": n, "parts": p, "best_evps": max(samples), "samples": samples}),
+                json.dumps(
+                    {
+                        "volume": n,
+                        "parts": p,
+                        "best_evps": results[p],
+                        "samples": [r for r, _ in runs],
+                        "timed_out": sum(1 for _, fin in runs if not fin),
+                    }
+                ),
                 flush=True,
             )
         winner = max(results, key=lambda p: results[p])
