@@ -50,9 +50,13 @@ import math
 #: for join/dedup state (where input rows DO land in the store) keep the
 #: rows-linear rule; for low-cardinality aggregations pass
 #: ``max_parts~=8`` (the measured plateau) — partitions above it buy
-#: nothing on any swept volume. Deployments with wide rows should still
-#: pass their own ``rows_per_task`` rather than trust a 100x
-#: extrapolation.
+#: nothing on any swept volume. A warmed re-run of the sweep (round 9,
+#: after the tool gained a discarded warm-up drain) confirmed the
+#: plateau and widened it: 2/4/8 are within-noise co-winners at both
+#: off-anchor volumes, the linear prediction trails at 0.78x (10k) and
+#: 0.62x (1M) of the winner, and counts >=32 degrade 1.7-2.4x.
+#: Deployments with wide rows should still pass their own
+#: ``rows_per_task`` rather than trust a 100x extrapolation.
 ROWS_PER_TASK = 32768
 
 
