@@ -390,7 +390,10 @@ def mann_whitney_u_x2(
     be integer-typed and non-NULL (exact band math and exact midranks).
     Returns one row per group: ``(group_col, n_a, n_b, u_a_x2)`` where
     ``u_a_x2 = 2*U_A`` — midranks of ties are half-integers, so doubling
-    keeps every quantity in BIGINT with no float boundary anywhere. The
+    keeps every quantity integral with no float boundary anywhere; the
+    doubled rank sum itself grows as n(n+1), so it accumulates in
+    DECIMAL(38,0) and the BIGINT output cast raises loudly past ~3e9
+    rows per group side (same contract as ``ks_d_numerator``). The
     classic distribution-free two-sample location test (Mann & Whitney
     1947): under H0 the expectation of u_a_x2 is n_a*n_b, and callers with
     large samples can normalize downstream (kept out of this operator: the
@@ -441,21 +444,33 @@ def mann_whitney_u_x2(
         "c",
         (F.col("off") + F.col("cum_in") - F.col("c")).alias("less"),
     )
+    # two_ra ~ 2*R_A <= n(n+1) wraps a silent (non-ANSI) BIGINT sum once a
+    # group side passes ~3e9 rows — accumulate in DECIMAL(38,0) and guard
+    # the output cast loudly, the same contract as ks_d_numerator below.
+    dec = "decimal(38,0)"
+    bigint_max = F.lit("9223372036854775807").cast(dec)
+    u_dec = F.col("two_ra") - F.col("n_a").cast(dec) * (F.col("n_a").cast(dec) + 1)
     return (
         contrib.groupBy("g")
         .agg(
             F.sum("ca").cast("bigint").alias("n_a"),
             F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n_b"),
             F.sum(
-                F.col("ca") * (2 * F.col("less") + F.col("c") + 1)
+                F.col("ca").cast(dec) * (2 * F.col("less").cast(dec) + F.col("c") + 1)
             ).alias("two_ra"),
         )
         .select(
             F.col("g").alias(group_col),
             "n_a",
             "n_b",
-            (F.col("two_ra") - F.col("n_a") * (F.col("n_a") + 1))
-            .cast("bigint")
+            F.when(u_dec <= bigint_max, u_dec.cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "raise_error('mann_whitney_u_x2: u_a_x2 exceeds BIGINT"
+                    " (group sides beyond ~3e9 rows) — widen the output to"
+                    " DECIMAL before normalizing')"
+                ).cast("bigint")
+            )
             .alias("u_a_x2"),
         )
         .orderBy(group_col)

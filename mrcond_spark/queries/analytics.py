@@ -1,14 +1,21 @@
-"""Statistical / vector / graph analytics tier (round-5 additions).
+"""Statistical / vector / graph analytics tier (rounds 5-8).
 
-Eleven declared queries extending SURVEY §2.2/§2.4 with the analytics a
-curation stack runs NEXT TO the relational core: single-pass statistical
-moments (B11/B24 companions), equi-width histograms, time-weighted
-averages, corpus collocation mining (E5), embedding-column maintenance
-(E3/E4 companions: centroids + quantization audit), link-analysis
-PageRank over a contracted graph (the source-quality scoring signal),
-Markov transition matrices over event sequences, df-gated inverted-index
-construction, z-score standardization with an outlier audit, and a salted shuffle
-join (the skew tier's join half, q101's aggregate being the other).
+Twenty-nine declared queries (q106-q185) extending SURVEY §2.2/§2.4 with
+the analytics a curation stack runs NEXT TO the relational core. The
+round-5 base: single-pass statistical moments (B11/B24 companions),
+equi-width histograms, time-weighted averages, corpus collocation mining
+(E5), embedding-column maintenance (E3/E4 companions: centroids +
+quantization audit), link-analysis PageRank over a contracted graph (the
+source-quality scoring signal), Markov transition matrices over event
+sequences, df-gated inverted-index construction, z-score standardization
+with an outlier audit, and a salted shuffle join (the skew tier's join
+half, q101's aggregate being the other). Later rounds added the bloom
+gate (q119), the co-purchase graph pair q120 triangles / q132 k-core,
+sequence analytics (q126 interpolation, q128 drawdown, q129 SCD2, q131
+session paths, q133 CUSUM), retrieval fusion (q130 RRF, q135 boolean),
+grouped OLS (q168 single-feature, q173 normal equations), embedding
+covariance (q127), and the drift-statistics tier (q182 bootstrap, q183
+rank-sum, q184 KS, q185 transition-matrix drift).
 
 Every query carries a full DuckDB hash oracle. Cross-engine float
 discipline (same rules as the rest of the corpus): exact integer counts;
@@ -445,7 +452,13 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     "hash agg on the bounded (cur, nxt) pair key, and a window over the "
     "|event_types|-sized result — probabilities via floor(10000.0*n/total) "
     "on exact integers, so the output is engine-exact with no rounding "
-    "tolerance at all",
+    "tolerance at all. Sibling: q185 computes the same transition matrix "
+    "with the corpus-preferred PURE-integer formulation ((10000*n) div "
+    "total — no float anywhere) and a broadcast row-total join instead of "
+    "this window; the pair is kept distinct deliberately, pinning BOTH "
+    "basis-point idioms against their oracles (the float-floor boundary "
+    "here is safe because 10000*n stays well under 2^53 exact-double "
+    "range). Any change to transition semantics must land in both.",
     tags=("B15", "B16", "B11"),
 )
 def q113(spark: SparkSession, sf: str) -> DataFrame:
@@ -780,11 +793,11 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
         .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
     )
-    parts = (
-        tri.select(F.col("a").alias("pk"))
-        .unionAll(tri.select(F.col("b").alias("pk")))
-        .unionAll(tri.select(F.col("c").alias("pk")))
-    )
+    # one pass over the triangle join: explode the 3 vertices per triangle
+    # row (a 3-way unionAll of tri projections would re-run both triangle
+    # join probes per branch — exchange reuse saves the shuffles, not the
+    # probe work; the oracle materializes tri for the same reason).
+    parts = tri.select(F.explode(F.array("a", "b", "c")).alias("pk"))
     return (
         parts.groupBy(F.col("pk").alias("partkey"))
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
@@ -1639,14 +1652,25 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(x * x) AS HUGEINT) AS sxx,
                CAST(SUM(x * y) AS HUGEINT) AS sxy
         FROM pts GROUP BY n_name
+    ),
+    d AS (
+        SELECT n_name, n,
+               n * sxy - sx * sy AS ps,
+               sy * sxx - sx * sxy AS pi,
+               NULLIF(n * sxx - sx * sx, 0) AS q
+        FROM suff
     )
     SELECT n_name,
            CAST(n AS BIGINT) AS n_pts,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope_cents,
-           CAST(sy * sxx - sx * sxy AS DOUBLE)
-               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS intercept_cents
-    FROM suff ORDER BY n_name
+           CAST(CASE WHEN ps < 0
+                THEN -((2*(-ps)*1000000 + q) // (2*q))
+                ELSE  ((2*ps*1000000 + q) // (2*q))
+           END AS DOUBLE) / 1000000.0 AS slope_cents,
+           CAST(CASE WHEN pi < 0
+                THEN -((2*(-pi)*1000000 + q) // (2*q))
+                ELSE  ((2*pi*1000000 + q) // (2*q))
+           END AS DOUBLE) / 1000000.0 AS intercept_cents
+    FROM d ORDER BY n_name
     """,
     doc="per-nation least-squares fit of line-item price (cents) against "
     "quantity, computed from the five OLS sufficient statistics in ONE "
@@ -1656,10 +1680,17 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     "join), one map-side-combining agg on a 25-key group; no per-group "
     "iteration, no collect. Cross-engine exactness: x and cent-scaled y "
     "are integers; every sum/product runs in DECIMAL(38,0)/HUGEINT "
-    "(bit-exact both engines), and the ONLY float ops are the final "
-    "slope/intercept divisions of those identical integers — IEEE double "
-    "division of identical operands is bit-identical, so no rounding is "
-    "needed (q116's mu follows the same rule).",
+    "(bit-exact both engines), and — because the intercept numerator "
+    "|sy*sxx - sx*sxy| already reaches ~1.07e18 at sf0.1 and crosses "
+    "2^64 near sf0.4, where int128->double casts stop being correctly "
+    "rounded in every engine (q173's measured 1-ULP divergence) — each "
+    "coefficient is resolved as an EXACT integral micro-cents quotient "
+    "(round-half-away-from-zero via `(2|p|+q) div 2q`; q = n*sxx - sx^2 "
+    ">= 0 by Cauchy-Schwarz, NULL on degenerate groups) and only that "
+    "small integer (<2^53) is divided by 1e6 in float space, which "
+    "IEEE754 makes bit-identical across engines (same guard as q173; "
+    "the sums themselves outgrow DECIMAL(38,0) only beyond ~sf100, "
+    "where the documented centering rewrite applies).",
     tags=("B4", "B11", "B24"),
 )
 def q168(spark: SparkSession, sf: str) -> DataFrame:
@@ -1683,21 +1714,26 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(d38("x") * d38("y")).alias("sxy"),
         )
     )
-    return suff.select(
+    d = suff.select(
+        "n_name",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("ps"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("pi"),
+        F.nullif(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), F.lit(0)
+        ).alias("q"),
+    )
+
+    def coef(p: str) -> str:
+        pos = f"((2*(-{p})*1000000 + q) div (2*q))"
+        neg = f"((2*{p}*1000000 + q) div (2*q))"
+        return f"cast(if({p} < 0, -{pos}, {neg}) as double) / 1000000.0"
+
+    return d.select(
         "n_name",
         F.col("n").cast("bigint").alias("n_pts"),
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / F.nullif(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), F.lit(0)
-            ).cast("double")
-        ).alias("slope_cents"),
-        (
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
-            / F.nullif(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), F.lit(0)
-            ).cast("double")
-        ).alias("intercept_cents"),
+        F.expr(coef("ps")).alias("slope_cents"),
+        F.expr(coef("pi")).alias("intercept_cents"),
     ).orderBy("n_name")
 
 
@@ -1981,7 +2017,10 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     "distribution-free two-sample drift test — the robust alternative to "
     "the parametric z/t gates (q115, q141's KL needs binning; this needs "
     "only an order). Statistic DOUBLED (u_a_x2 = 2*U_A) so tie midranks "
-    "stay integer — every quantity is exact BIGINT, no float boundary; "
+    "stay integer — every quantity is exact integral arithmetic, no "
+    "float boundary (the n(n+1)-growth rank sum accumulates in "
+    "DECIMAL(38,0) and the BIGINT output cast raises loudly past ~3e9 "
+    "rows per side, same contract as q184's ks_d_numerator); "
     "under H0 its expectation is n_a*n_b (the z normalization needs a "
     "sqrt and is left to callers — libm does not reproduce across "
     "engines). The oracle computes midranks with a plain corpus-wide "
@@ -2113,7 +2152,10 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     "(10000*n div row_total — no float boundary). The sequence-analytics "
     "complement to the funnel (q94: fixed 3-stage order) and "
     "sessionization (q63: gap cutting): this is the full first-order "
-    "path structure product teams diff between releases. 100 TB: ONE "
+    "path structure product teams diff between releases. Sibling: q113 "
+    "computes the same matrix via the float-floor basis-point idiom and "
+    "a per-row window for the totals — the pair deliberately pins both "
+    "formulations (see q113's doc); semantic changes must land in both. 100 TB: ONE "
     "shuffle — the per-user window partitions on user_id "
     "(high-cardinality); the pair aggregate collapses to at most "
     "|event_types|^2 rows before the row-total join, so everything "
