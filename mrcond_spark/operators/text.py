@@ -25,6 +25,18 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
 
 
+def tokens_null_safe(col: Column) -> Column:
+    """``tokens`` with NULL text treated as empty (-> empty token array).
+
+    The oracle-side mirror is ``string_split_regex(lower(trim(coalesce(x,
+    ''))), '\\s+')`` + empty filter. Queries whose downstream can't absorb a
+    NULL array (set-similarity joins, SNM blocking keys, span extraction)
+    use this variant so the tokenization contract lives in ONE audited spot
+    rather than inline copies that can drift from their oracles.
+    """
+    return tokens(F.coalesce(col, F.lit("")))
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

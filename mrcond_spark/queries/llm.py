@@ -171,7 +171,11 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     @pandas_udf("int")
     def length_bucket(s: pd.Series) -> pd.Series:
-        return (s.str.len() // 100).astype("int32")
+        # nullable Int32, not int32: a NULL text is NaN after str.len(),
+        # and astype('int32') RAISES on NaN (crashing the whole query)
+        # while the oracle's LENGTH(text)//100 files it under a NULL
+        # bucket — the extension dtype round-trips NA through Arrow.
+        return (s.str.len() // 100).astype("Int32")
 
     d = load(spark, sf, "documents")
     return (
@@ -315,9 +319,10 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    corpus = plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # no explicit repartition: mllib_minhash_pairs ensure_parallelism()s its
+    # input itself (conditionally — an unconditional repartition here forced
+    # a full-corpus shuffle even when the scan already had enough splits)
+    corpus = plant_duplicates(d, "doc_id", F.col("doc_id") % 25 == 0)
     # 5 hash tables: the OR-amplified candidate-join cost scales with
     # tables x corpus; 5 keeps planted-dup recall >= 0.9 (tested) at ~60% of
     # the 8-table join cost
@@ -546,7 +551,11 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E2",),
 )
 def q55(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    from ..operators import ensure_parallelism
+
+    # conditional widen (no-op when the scan already has enough splits —
+    # an unconditional repartition would shuffle the full table at scale)
+    d = ensure_parallelism(load(spark, sf, "documents"))
     # Arrow-batched shingler (CollapseProject inlines a tokenizer projection
     # into the HOF lambda, going O(len^2)/doc). NOT materialized: the shingle
     # arrays are large relative to their compute cost, so re-running the UDF
@@ -615,7 +624,12 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_unique"),
             F.sum("dup_count").cast("bigint").alias("n_docs"),
             F.sum("q_tokens").cast("bigint").alias("sum_tokens"),
-            F.floor(F.sum("q_tokens") * 10000 / F.greatest(F.count("*"), F.lit(1)))
+            # exact integer quotient (matches the oracle's HUGEINT '//'):
+            # floor(double division) drifts +-1 once sum*10000 passes 2^53
+            F.expr(
+                "(cast(sum(q_tokens) as decimal(38,0)) * 10000)"
+                " div greatest(count(*), 1)"
+            )
             .cast("bigint")
             .alias("avg_tokens_bp"),
         )
@@ -695,7 +709,9 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT doc_id, lang,
-               CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS is_new
+               CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+                     AND lag(lang) OVER (ORDER BY doc_id) = lang
+                    THEN 0 ELSE 1 END AS is_new
         FROM documents
     ),
     runs AS (
@@ -708,9 +724,13 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     doc="pair edges -> clusters -> keep-min representative: the step every "
     "pair-producing dedup tier needs before it can DROP duplicates. Runs "
     "distributed min-label connected components (operators/components.py) "
-    "over a deterministic data-derived graph (consecutive same-lang docs), "
-    "so the clustering is DuckDB-checkable; singletons keep themselves as "
-    "representative",
+    "over a deterministic data-derived graph: docs with CONSECUTIVE IDS "
+    "(doc_id-1 value adjacency, the edge the Spark join actually builds) "
+    "and the same lang — the oracle's run-detection checks BOTH conditions "
+    "(lag(doc_id) = doc_id-1 AND lag(lang) = lang), so an id gap inside a "
+    "same-lang stretch breaks the run in both engines identically (it "
+    "previously checked only lang, silently load-bearing on gapless ids). "
+    "Singletons keep themselves as representative",
     tags=("E1", "E2"),
 )
 def q74(spark: SparkSession, sf: str) -> DataFrame:
@@ -885,11 +905,18 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 def q85(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
     n_chunks = F.ceil(F.length("text") / F.lit(150.0)).cast("bigint")
+    # n_chunks == 0 (empty text) must yield NO rows, matching the oracle's
+    # range(0, 0): an unguarded sequence(0, -1) auto-steps DOWN and emits
+    # two phantom chunks [0, -1] (same trap packing.apply_repeat_factors
+    # guards); explode of the empty array drops the row instead.
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         d.select(
             "doc_id",
             "text",
-            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+            F.explode(idx).alias("i"),
         )
         .select(
             "doc_id",
@@ -920,27 +947,42 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     ranked AS (
         SELECT doc_id, token, score,
                ROW_NUMBER() OVER (
-                   PARTITION BY doc_id ORDER BY round(score, 6) DESC, token
+                   PARTITION BY doc_id
+                   ORDER BY CAST(score AS DECIMAL(28,6)) DESC, token
                ) AS rank
         FROM scored
     )
-    SELECT doc_id, token, CAST(round(score, 4) AS DOUBLE) AS score_r, CAST(rank AS INT) AS rank
+    SELECT doc_id, token,
+           CAST(CAST(score AS DECIMAL(28,4)) AS DOUBLE) AS score_r,
+           CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 3 AND doc_id % 10 = 0
     ORDER BY doc_id, rank
     """,
     doc="TF-IDF top-3 terms per English doc (smoothed idf = ln((N+1)/(df+1))+1). "
     "Corpus stats (df, N) come from ALL en docs; output restricted to "
-    "doc_id%10=0 to keep the checked set small. Ranking on round(score,6) + "
-    "token tiebreak makes the float arithmetic engine-order independent "
-    "(same discipline as the cosine queries). Shuffles: one on (doc,token), "
-    "one on token; N and the df table stay relation-sized — no driver state",
+    "doc_id%10=0 to keep the checked set small. Ranking on a DECIMAL(28,6) "
+    "cast of the score + token tiebreak, display via DECIMAL(28,4) — the "
+    "q41 pin: decimal casts round identically in both engines, while "
+    "float round() vs HALF_UP F.round could flip a .5-boundary value. "
+    "The tokenize+explode feeds three different shuffle keys, so it is "
+    "materialized once. Shuffles: one on (doc,token), one on token; N and "
+    "the df table stay relation-sized — no driver state",
     tags=("E5",),
 )
 def q86(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators import materialize_once
+
     d = load(spark, sf, "documents").filter(F.col("lang") == "en")
-    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    # THREE consumers on three different shuffle keys (doc+token / token /
+    # global) — Catalyst can't reuse the exchange, so an unmaterialized
+    # tokenize+explode would re-run the scan+UDF-free explode three times
+    # (same class as q120's pre-fix union; ngram_novelty's measured rule).
+    toks = materialize_once(
+        d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token")),
+        eager=False,
+    )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = toks.agg(F.countDistinct("doc_id").alias("n"))
@@ -956,14 +998,22 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "token")
+    # rank and display rounding pinned through DECIMAL casts (the q41
+    # discipline): F.round on DOUBLE is BigDecimal HALF_UP while DuckDB's
+    # round() is float arithmetic — a double falling the other side of a
+    # .5 boundary flips score_r (or the rank order) between engines.
+    # double->DECIMAL casts round identically in both (scores positive,
+    # so HALF_UP == half-away-from-zero).
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").cast("decimal(28,6)").desc(), "token"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter((F.col("rank") <= 3) & (F.col("doc_id") % 10 == 0))
         .select(
             "doc_id",
             "token",
-            F.round("score", 4).alias("score_r"),
+            F.col("score").cast("decimal(28,4)").cast("double").alias("score_r"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("doc_id", "rank")
@@ -1056,9 +1106,16 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E2", "E5"),
 )
 def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import materialize_once
+
     d = load(spark, sf, "documents")
-    grams = d.select(
-        "doc_id", F.explode(dedup.shingle_udf(3)(F.col("text"))).alias("g")
+    # the bench and corpus branches both consume the shingle projection —
+    # unmaterialized, the full-corpus Arrow shingle UDF (the plan's most
+    # expensive stage) would run once PER BRANCH (ngram_novelty's measured
+    # two-consumer rule).
+    grams = materialize_once(
+        d.select("doc_id", F.explode(dedup.shingle_udf(3)(F.col("text"))).alias("g")),
+        eager=False,
     )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0)
@@ -1694,10 +1751,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     from mrcond_spark.operators.snm import sorted_neighborhood_pairs
 
     d = load(spark, sf, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+    toks = text.tokens_null_safe(F.col("text"))
     # blk/nt/td all derive from one split(); Catalyst inlines the copies
     # (cheap whole-array ops — not the per-element HOF inlining that made
     # q55's shingler O(len^2), which is why that one uses an Arrow UDF)
@@ -1865,10 +1919,7 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.components import connected_components
 
     d = load(spark, sf, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+    toks = text.tokens_null_safe(F.col("text"))
     blk_a = d.select(
         "doc_id", F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk")
     )
@@ -2000,10 +2051,7 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q181(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    tk = text.tokens_null_safe(F.col("text"))
     g = (
         d.select("doc_id", tk.alias("tk"))
         .filter(F.size("tk") >= 3)

@@ -1,0 +1,114 @@
+"""Edge-row regression pins for the NULL/empty-text latent divergences
+found in the round-9 llm.py review pass.
+
+The shipped testdata has no NULL and no zero-length ``documents.text``
+(min length 44 at every SF), so the sf-based oracle suite can never
+exercise these branches — each test here builds a tiny synthetic
+documents.parquet containing exactly the poison rows and checks the
+declared Spark query against its own DuckDB oracle on the same file:
+
+- q85: empty text must chunk to ZERO rows (an unguarded
+  ``sequence(0, -1)`` auto-steps down and emitted phantom chunks
+  [0, -1]);
+- q43: NULL text must land in a NULL bucket, not crash the Arrow UDF
+  (``astype('int32')`` raises on the NaN that ``str.len()`` yields);
+- q74: a doc_id GAP inside a same-lang stretch must break the cluster
+  in BOTH engines (the oracle's run detection previously checked only
+  lang, silently load-bearing on gapless ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from mrcond_spark.queries import all_queries
+
+
+def _write_documents(spark, path: str, rows: list[tuple]) -> None:
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+
+
+def _key(row: tuple):
+    # None-safe total order (None sorts first within its column)
+    return tuple((v is not None, v) for v in row)
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet'"
+        )
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        return cols, sorted(map(tuple, res.fetchall()), key=_key)
+    finally:
+        con.close()
+
+
+def _spark_rows(df):
+    return df.columns, sorted(map(tuple, df.collect()), key=_key)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("edge-docs"))
+    rows = [
+        # doc_id 0: empty text, selected by q85's doc_id % 20 == 0 gate
+        (0, "en", "web", "", 0),
+        # doc_id 20: NULL text, also on the q85 gate and feeding q43
+        (20, "en", "web", None, 0),
+        # normal rows; note the GAP at doc_id 2 inside an 'en' stretch
+        (1, "en", "web", "alpha beta gamma delta " * 12, 276),
+        (3, "en", "web", "epsilon zeta eta theta " * 12, 276),
+        (4, "de", "web", "kappa lambda mu nu " * 10, 190),
+        (5, "de", "web", "xi omicron pi rho " * 10, 190),
+        (40, "fr", "web", "sigma tau upsilon phi " * 9, 198),
+    ]
+    _write_documents(spark, path, rows)
+    return path
+
+
+def test_q85_empty_and_null_text_chunk_to_zero_rows(spark, edge_dir):
+    q = all_queries()["q85_doc_chunks"]
+    scols, srows = _spark_rows(q.spark(spark, edge_dir))
+    ocols, orows = _oracle(edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    # doc 0 (len 0) and doc 20 (NULL) are both on the %20 gate: zero chunks
+    # from doc 0, zero from doc 20 (NULL length -> NULL range -> no rows);
+    # doc 40 contributes normal chunks
+    assert all(r[0] == 40 for r in srows)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+
+
+def test_q43_null_text_buckets_as_null_not_crash(spark, edge_dir):
+    q = all_queries()["q43_pandas_udf_hist"]
+    scols, srows = _spark_rows(q.spark(spark, edge_dir))
+    ocols, orows = _oracle(edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+    assert any(r[0] is None for r in srows), "NULL text must produce a NULL bucket"
+
+
+def test_q74_id_gap_breaks_cluster_in_both_engines(spark, edge_dir):
+    q = all_queries()["q74_dedup_clusters"]
+    scols, srows = _spark_rows(q.spark(spark, edge_dir))
+    ocols, orows = _oracle(edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+    reps = dict(srows)
+    # doc 0 and 1 are id-adjacent same-lang -> one cluster; the GAP at
+    # doc_id 2 separates the same-lang doc 3 into its own cluster
+    assert reps[0] == 0 and reps[1] == 0 and reps[3] == 3
+    # ids 3,4 are adjacent but different lang; 4,5 adjacent same lang
+    assert reps[4] == 4 and reps[5] == 4
