@@ -27,7 +27,14 @@ TRAIN_PCT, VAL_PCT = 90, 5
 
 
 def split_assignment(id_col: Column) -> Column:
-    """Split label ('train' / 'val' / 'test') for an id column."""
+    """Split label ('train' / 'val' / 'test') for an id column.
+
+    NULL keys land in 'test' in BOTH engines: Spark's concat propagates
+    NULL -> NULL bucket -> CASE falls through to the ELSE; the SQL mirror
+    below uses the NULL-propagating ``||`` for the same reason (DuckDB's
+    ``concat()`` SKIPS NULL args, which would silently hash a NULL key as
+    the bare seed string and file it under 'train').
+    """
     hk = F.md5(F.concat(F.lit(f"{SPLIT_SEED}:"), id_col.cast("string")))
     bucket = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long") % 100
     return (
@@ -39,10 +46,12 @@ def split_assignment(id_col: Column) -> Column:
 
 def sql_split(id_expr: str) -> str:
     """The DuckDB restatement of ``split_assignment`` for an id expression
-    (used by the declared-query oracles — keep in lockstep)."""
+    (used by the declared-query oracles — keep in lockstep, including the
+    NULL-key contract: ``||`` propagates NULL like Spark's concat, where
+    DuckDB's ``concat()`` would skip it)."""
     bucket = (
-        f"CAST(('0x' || substr(md5(concat('{SPLIT_SEED}:', "
-        f"CAST({id_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+        f"CAST(('0x' || substr(md5('{SPLIT_SEED}:' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
     )
     return (
         f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' "

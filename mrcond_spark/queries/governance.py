@@ -285,7 +285,8 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         SELECT user_id, event_type, cnt,
                SUM(cnt) OVER (PARTITION BY user_id) AS total,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY cnt DESC, event_type
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type NULLS LAST
                ) AS rn
         FROM votes
     )
@@ -313,8 +314,11 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
 def q155(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     votes = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # NULLS LAST pinned on BOTH sides: Spark's default asc is NULLS FIRST,
+    # DuckDB's is NULLS LAST — a NULL label tied for top votes would win
+    # in one engine and lose in the other.
     w_rank = Window.partitionBy("user_id").orderBy(
-        F.col("cnt").desc(), F.col("event_type")
+        F.col("cnt").desc(), F.col("event_type").asc_nulls_last()
     )
     w_tot = Window.partitionBy("user_id")
     ranked = votes.select(
@@ -362,8 +366,9 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     "statistic one BPE merge round maximizes (the pair a tokenizer "
     "trainer would merge next), and the distributed form of 'count every "
     "bigram over 100 TB'. Tokens come from the shared JVM tokenizer; "
-    "pairs are built NARROWLY inside the row via "
-    "transform(sequence(...)) over the token array — no self-join, no "
+    "pairs are built NARROWLY inside the row via zip_with over two "
+    "shifted slices (the pmi_collocations idiom: ANSI-safe, 0/1-token "
+    "docs yield empty lists) — no self-join, no "
     "posexplode-then-shift shuffle — then one explode feeds one hash agg "
     "with map-side partials, and the global top-N is a TakeOrdered (no "
     "full sort). Total ORDER BY (cnt DESC, pair) makes the cut "
@@ -373,18 +378,22 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q156(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    toks = d.select(text.tokens(F.col("text")).alias("t"))
-    # size >= 2 gate BEFORE the pair transform: Spark's sequence(1, 0) on a
-    # one-token doc generates a DESCENDING [1, 0] and element_at then
-    # throws INVALID_ARRAY_INDEX under ANSI mode — a 0-or-1-token doc
-    # must contribute zero pairs, exactly like the oracle's empty
-    # range(1, 1). (Regression-tested in test_governance.py.)
-    toks = toks.filter(F.size(F.col("t")) >= 2)
-    pairs = toks.select(
+    # adjacent pairs via the pmi_collocations zip_with/slice idiom (no
+    # indexed access, so no ANSI INVALID_ARRAY_INDEX hazard and no size>=2
+    # pre-filter): n_adj = max(len-1, 0) makes 0/1-token docs contribute
+    # zero pairs, exactly like the oracle's empty range(1, 1) — and with
+    # no filter there is nothing for predicate pushdown to duplicate (the
+    # old size(...)>=2 gate pushed below the projection re-tokenized
+    # every document a second time). (Regression-tested in
+    # test_governance.py.)
+    toks = text.tokens(F.col("text"))
+    n_adj = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = d.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            F.zip_with(
+                F.slice(toks, 1, n_adj),
+                F.slice(toks, 2, n_adj),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             )
         ).alias("pair")
     )
@@ -494,12 +503,16 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents GROUP BY source
     ),
     tot AS (
-        SELECT SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS total_w FROM per
+        SELECT CAST(SUM(CAST(sqrt(CAST(src_tokens AS DOUBLE))
+                             AS DECIMAL(38,18))) AS DOUBLE) AS total_w
+        FROM per
     )
     SELECT source, n_docs, src_tokens,
-           ROUND(sqrt(CAST(src_tokens AS DOUBLE)) / total_w, 6) AS weight,
-           ROUND({EPOCH_BUDGET} * sqrt(CAST(src_tokens AS DOUBLE)) / total_w
-                 / src_tokens, 4) AS epochs
+           ROUND(sqrt(CAST(src_tokens AS DOUBLE))
+                 / NULLIF(total_w, 0.0), 6) AS weight,
+           ROUND({EPOCH_BUDGET} * sqrt(CAST(src_tokens AS DOUBLE))
+                 / NULLIF(total_w, 0.0)
+                 / NULLIF(src_tokens, 0), 4) AS epochs
     FROM per, tot
     ORDER BY source
     """,
@@ -513,8 +526,11 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     "the stored |sources|-row blocks instead of re-executing the corpus "
     "scan+tokenize lineage, then broadcast-crossed back (the bounded "
     "scalar idiom; a partitionBy(lit) window would constant-fold to an "
-    "empty spec -> Exchange SinglePartition). Pure double arithmetic "
-    "with a fixed op tree + ROUND for cross-engine stability. 100 TB: "
+    "empty spec -> Exchange SinglePartition). Cross-engine stability: "
+    "the normalizer sums DECIMAL(38,18) casts (order-independent), both "
+    "engines evaluate the identical left-associative (B*s)/t/k tree, "
+    "and zero denominators NULLIF to NULL rows (Spark ANSI would throw "
+    "where DuckDB yields NULL). 100 TB: "
     "ONE corpus scan, one shuffle carrying |sources| partials; "
     "everything after is metadata-sized",
     tags=("E5", "B11", "B24"),
@@ -532,19 +548,32 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         ),
         eager=False,
     )
+    # total_w summed in DECIMAL(38,18) (exact, order-independent — the
+    # corpus convention; a raw double SUM depends on partial-merge order
+    # under AQE and can diverge run-to-run). Denominators NULLIF-guarded:
+    # Spark's ANSI mode THROWS on x/0 where DuckDB yields NULL, so an
+    # all-whitespace source (src_tokens = 0) must produce a NULL epochs
+    # row in both engines, not kill the query.
     tot = per.agg(
-        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("total_w")
+        F.sum(F.sqrt(F.col("src_tokens").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("total_w")
     )
-    w = F.sqrt(F.col("src_tokens").cast("double")) / F.col("total_w")
+    s = F.sqrt(F.col("src_tokens").cast("double"))
+    tw = F.nullif(F.col("total_w"), F.lit(0.0))
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "src_tokens",
-            F.round(w, 6).alias("weight"),
+            F.round(s / tw, 6).alias("weight"),
+            # left-associative (B*s)/t/k — the oracle's exact op tree
+            # (B*(s/t)/k differs at the ulp level on ~30% of inputs)
             F.round(
-                F.lit(EPOCH_BUDGET) * w / F.col("src_tokens"), 4
+                F.lit(EPOCH_BUDGET) * s / tw
+                / F.nullif(F.col("src_tokens"), F.lit(0)),
+                4,
             ).alias("epochs"),
         )
         .orderBy("source")

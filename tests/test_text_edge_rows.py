@@ -14,7 +14,12 @@ declared Spark query against its own DuckDB oracle on the same file:
   (``astype('int32')`` raises on the NaN that ``str.len()`` yields);
 - q74: a doc_id GAP inside a same-lang stretch must break the cluster
   in BOTH engines (the oracle's run detection previously checked only
-  lang, silently load-bearing on gapless ids).
+  lang, silently load-bearing on gapless ids);
+- q158: a source whose docs are all empty/whitespace (src_tokens = 0)
+  must yield a NULL-epochs row, not a Spark ANSI DIVIDE_BY_ZERO crash;
+- q163: a NULL group key must land in 'test' in BOTH engines (DuckDB's
+  concat() SKIPS NULL args where Spark's propagates — the oracle uses
+  NULL-propagating ``||`` for exactly this row).
 """
 
 from __future__ import annotations
@@ -97,6 +102,49 @@ def test_q43_null_text_buckets_as_null_not_crash(spark, edge_dir):
     perm = [scols.index(c) for c in ocols]
     assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
     assert any(r[0] is None for r in srows), "NULL text must produce a NULL bucket"
+
+
+@pytest.fixture(scope="module")
+def governance_edge_dir(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("edge-gov"))
+    rows = [
+        # a source whose every doc is empty/whitespace: src_tokens = 0
+        (1, "en", "empty-src", "", 0),
+        (2, "en", "empty-src", "   ", 3),
+        # a NULL source (split key) with real text
+        (3, "en", None, "alpha beta gamma delta " * 6, 138),
+        # normal ballast
+        (4, "en", "web", "epsilon zeta eta theta " * 6, 138),
+        (5, "de", "news", "kappa lambda mu nu xi " * 5, 110),
+    ]
+    _write_documents(spark, path, rows)
+    return path
+
+
+def test_q158_zero_token_source_yields_null_epochs_row(spark, governance_edge_dir):
+    q = all_queries()["q158_source_epochs"]
+    scols, srows = _spark_rows(q.spark(spark, governance_edge_dir))
+    ocols, orows = _oracle(governance_edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+    by_src = {r[0]: r for r in srows}
+    row = by_src["empty-src"]
+    # src_tokens == 0 -> weight 0.0, epochs NULL (0/0), and NO crash
+    assert row[scols.index("src_tokens")] == 0
+    assert row[scols.index("weight")] == 0.0
+    assert row[scols.index("epochs")] is None
+
+
+def test_q163_null_group_key_lands_in_test_in_both_engines(spark, governance_edge_dir):
+    q = all_queries()["q163_group_split"]
+    scols, srows = _spark_rows(q.spark(spark, governance_edge_dir))
+    ocols, orows = _oracle(governance_edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+    splits = {r[scols.index("split")] for r in srows}
+    assert "test" in splits, "the NULL-source doc must be filed under 'test'"
 
 
 def test_q74_id_gap_breaks_cluster_in_both_engines(spark, edge_dir):
