@@ -30,8 +30,10 @@ from . import ensure_parallelism, materialize_once
 
 
 def normalized_text(col: Column) -> Column:
-    """Canonical text form for exact dedup: trim, lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Canonical text form for exact dedup: trim, lowercase, collapse whitespace
+    (explicit RE2-identical class — Java \\s also matches \\x0B, the oracles'
+    RE2 \\s does not; text.WS_CLASS note)."""
+    return F.regexp_replace(F.lower(F.trim(col)), "[ \\t\\n\\f\\r]+", " ")
 
 
 def text_hash(col: Column) -> Column:
@@ -205,7 +207,9 @@ def minhash_band_udf(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3, s
         prime = (1 << 61) - 1
         a = rng.randint(1, prime, size=num_hashes, dtype=np.int64).astype(np.uint64)
         b = rng.randint(0, prime, size=num_hashes, dtype=np.int64).astype(np.uint64)
-        ws = re.compile(r"\s+")
+        # explicit class: Python re \s is Unicode-aware (wider than BOTH
+        # Java and RE2); the oracles tokenize with RE2 \s = [ \t\n\f\r]
+        ws = re.compile("[ \t\n\f\r]+")
 
         out = []
         for text in texts:

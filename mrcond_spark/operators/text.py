@@ -19,10 +19,21 @@ _LANG_MARKERS = {
 
 _EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
+#: the engine's whitespace class, spelled EXPLICITLY instead of ``\s``:
+#: Java regex ``\s`` is ``[ \t\n\x0B\f\r]`` while RE2 (DuckDB) ``\s`` is
+#: ``[ \t\n\f\r]`` — they disagree on VERTICAL TAB, so a ``\x0B`` in any
+#: document silently diverges every token count / split / normalization
+#: between the Spark side and its oracle. The 43 oracle strings keep RE2
+#: ``\s``; every Spark-side (Java/Python) regex uses this class, which
+#: matches RE2's set exactly in all three engines. (Python ``re`` ``\s``
+#: is worse still — Unicode-aware — another reason to spell it out.)
+WS_CLASS = "[ \\t\\n\\f\\r]"
+
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
-    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+    """Lowercased whitespace tokens, empties removed (``WS_CLASS`` split —
+    RE2-identical, see the constant's note)."""
+    return F.filter(F.split(F.lower(F.trim(col)), WS_CLASS + "+"), lambda t: t != "")
 
 
 def tokens_null_safe(col: Column) -> Column:
@@ -42,9 +53,11 @@ def token_count(col: Column) -> Column:
 
 
 #: BPE-pre-tokenizer-ish lexeme pattern: alphanumeric runs or punctuation runs
-#: (whitespace delimits). RE2-compatible, so the DuckDB oracle can run the
-#: exact same pattern.
-BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"
+#: (whitespace delimits). RE2-compatible AND engine-identical: the whitespace
+#: set is spelled explicitly (``\s`` differs between Java and RE2 on \x0B —
+#: see WS_CLASS), and the oracle embeds this exact string, so both engines
+#: run the same pattern by construction.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\f\r]+"
 
 
 def bpe_ish_tokens(col: Column) -> Column:
@@ -80,7 +93,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(t)
     n_chars = F.length(t).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
-    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint")
+    # [^\w + WS_CLASS]: the oracle's RE2 '[^\w\s]' — \w agrees between the
+    # engines ([0-9A-Za-z_]); \s does not (\x0B), hence the explicit class
+    n_punct = (n_chars - F.length(F.regexp_replace(t, "[^\\w \\t\\n\\f\\r]", ""))).cast("bigint")
     n_stop = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),

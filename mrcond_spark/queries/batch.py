@@ -1324,7 +1324,10 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     doc="Levenshtein fuzzy name matching over candidate pairs (consecutive "
     "ids here; any blocked candidate set in practice). Edit distance runs "
     "JVM-side per pair — the scale rule is the same as every dedup tier: "
-    "generate bounded candidates first (LSH/blocking), never all-pairs",
+    "generate bounded candidates first (LSH/blocking), never all-pairs. "
+    "Cross-engine note: Spark's levenshtein counts code points, DuckDB's "
+    "counts bytes; p_name is ASCII by the TPC-H column spec, so the two "
+    "agree here — free-text inputs must ASCII-fold first (q139/q180)",
     tags=("B22",),
 )
 def q70(spark: SparkSession, sf: str) -> DataFrame:

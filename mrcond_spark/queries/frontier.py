@@ -106,7 +106,8 @@ MAX_DIST = 20
     WITH n AS (
         SELECT doc_id, lang,
                substr(lower(trim(text)), 1, 12) AS blk,
-               substr(lower(trim(text)), 1, 80) AS head
+               regexp_replace(substr(lower(trim(text)), 1, 80),
+                              '[^\\x00-\\x7f]', '?', 'g') AS head
         FROM documents
     ),
     g AS (
@@ -129,7 +130,10 @@ MAX_DIST = 20
     "sharing a prefix = boilerplate) are df-gated out before the "
     "quadratic-within-block join, so the candidate volume is capped at "
     "|blocks| x MAX_BLOCK^2 by construction. The verify gate is integer "
-    "edit distance — no float boundary. 100 TB: one (lang,blk) shuffle "
+    "edit distance over ASCII-FOLDED heads (non-ASCII -> '?', both "
+    "engines): Spark's levenshtein counts code points, DuckDB's counts "
+    "bytes, and folding makes the two metrics coincide exactly — no "
+    "float boundary. 100 TB: one (lang,blk) shuffle "
     "each side; AQE handles residual block skew; Levenshtein runs "
     "JVM-side on 80-char heads only (bounded per-pair cost)",
     tags=("E2", "B22"),
@@ -137,11 +141,16 @@ MAX_DIST = 20
 def q139(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     norm = F.lower(F.trim(F.col("text")))
+    # heads ASCII-folded (each non-ASCII code point -> '?', identically in
+    # both engines) BEFORE the distance: Spark's levenshtein counts code
+    # points while DuckDB's counts BYTES, so a multibyte character would
+    # shift every dist and flip pairs across the MAX_DIST gate. On folded
+    # heads bytes == code points and the two implementations agree exactly.
     n = d.select(
         "doc_id",
         "lang",
         F.substring(norm, 1, 12).alias("blk"),
-        F.substring(norm, 1, 80).alias("head"),
+        F.regexp_replace(F.substring(norm, 1, 80), "[^\\x00-\\x7F]", "?").alias("head"),
     )
     g = (
         n.groupBy("lang", "blk")
@@ -286,9 +295,18 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("token"),
         (F.col("lang") == "en").alias("is_en"),
     )
-    g = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("c_en"),
-        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("c_rest"),
+    from ..operators import materialize_once
+
+    # two structurally different consumers (the 1-row totals aggregate and
+    # the crossJoin projection) — exchange reuse does not cover them, so an
+    # unmaterialized g would re-run the corpus-sized explode+groupBy per
+    # branch (the ks_d_numerator/mann_whitney multi-consumer rule)
+    g = materialize_once(
+        tok.groupBy("token").agg(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("c_en"),
+            F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("c_rest"),
+        ),
+        eager=False,
     )
     tot = g.agg(
         F.sum("c_en").alias("n_en"),
@@ -386,7 +404,9 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
     n = F.length(norm)
     n_alpha = n - F.length(F.regexp_replace(norm, "[a-z]", ""))
     n_digit = n - F.length(F.regexp_replace(norm, "[0-9]", ""))
-    n_space = n - F.length(F.regexp_replace(norm, r"\s", ""))
+    # explicit RE2-identical whitespace class: Java \s also matches \x0B,
+    # the oracle's RE2 \s does not (text.WS_CLASS note)
+    n_space = n - F.length(F.regexp_replace(norm, "[ \\t\\n\\f\\r]", ""))
     c = d.select(
         "source",
         n.alias("n"),

@@ -150,7 +150,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.length(t).cast("bigint").alias("q_chars"),
         text.token_count(t).cast("bigint").alias("q_tokens"),
-        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint").alias("q_punct"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[^\\w \\t\\n\\f\\r]", ""))).cast("bigint").alias("q_punct"),
     ).orderBy("doc_id")
 
 
@@ -1963,7 +1963,9 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     "q180_edit_distance_join",
     oracle="""
     WITH t AS (
-        SELECT doc_id, substr(coalesce(text, ''), 1, 16) AS s
+        SELECT doc_id,
+               regexp_replace(substr(coalesce(text, ''), 1, 16),
+                              '[^\\x00-\\x7f]', '?', 'g') AS s
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1993,9 +1995,16 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 def q180(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.editsim import edit_distance_join
 
+    # heads ASCII-folded on both sides (q139's rule): Spark levenshtein is
+    # code-point-based, DuckDB's is BYTE-based — on folded heads the two
+    # metrics coincide exactly, so the hash check stays valid off-ASCII.
     heads = load(spark, sf, "documents").select(
         "doc_id",
-        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 16).alias("head"),
+        F.regexp_replace(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 16),
+            "[^\\x00-\\x7F]",
+            "?",
+        ).alias("head"),
     )
     return (
         edit_distance_join(heads, id_col="doc_id", str_col="head", k=3, q=2)

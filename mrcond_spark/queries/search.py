@@ -271,7 +271,7 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf, "documents")
-    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    arr = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
     feat = d.select(
         "doc_id",
         "lang",

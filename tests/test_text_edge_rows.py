@@ -19,7 +19,13 @@ declared Spark query against its own DuckDB oracle on the same file:
   must yield a NULL-epochs row, not a Spark ANSI DIVIDE_BY_ZERO crash;
 - q163: a NULL group key must land in 'test' in BOTH engines (DuckDB's
   concat() SKIPS NULL args where Spark's propagates — the oracle uses
-  NULL-propagating ``||`` for exactly this row).
+  NULL-propagating ``||`` for exactly this row);
+- vertical tab (\\x0B): Java regex ``\\s`` matches it, RE2 (DuckDB)
+  ``\\s`` does not — the Spark side spells the whitespace class
+  explicitly (text.WS_CLASS) so tokenization/normalization agree;
+- non-ASCII text: Spark's levenshtein counts code points, DuckDB's
+  counts BYTES — the edit-distance queries ASCII-fold heads on both
+  sides so the metrics coincide.
 """
 
 from __future__ import annotations
@@ -160,3 +166,40 @@ def test_q74_id_gap_breaks_cluster_in_both_engines(spark, edge_dir):
     assert reps[0] == 0 and reps[1] == 0 and reps[3] == 3
     # ids 3,4 are adjacent but different lang; 4,5 adjacent same lang
     assert reps[4] == 4 and reps[5] == 4
+
+
+@pytest.fixture(scope="module")
+def regex_edge_dir(spark, tmp_path_factory) -> str:
+    """Docs containing a vertical tab and non-ASCII text — the two
+    characters on which Java/RE2/byte-wise primitives disagree."""
+    path = str(tmp_path_factory.mktemp("edge-regex"))
+    rows = [
+        # \x0B between words: Java \s splits here, RE2 \s does not
+        (1, "en", "web", "alpha\x0bbeta gamma delta epsilon", 29),
+        (2, "en", "web", "alpha beta gamma delta epsilon", 30),
+        # accented head: byte-length != code-point-length
+        (3, "fr", "web", "café au lait café au lait ration", 31),
+        (4, "fr", "web", "cafe au lait cafe au lait rations", 33),
+        (5, "de", "news", "zeta eta theta iota kappa lambda", 32),
+    ]
+    _write_documents(spark, path, rows)
+    return path
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q142_char_entropy",      # \s char-class count
+        "q141_token_kl_drift",    # shared tokenizer split
+        "q61_bpe_token_stats",    # BPE pattern's whitespace member
+        "q139_edit_blocking_pairs",  # levenshtein verify gate
+        "q180_edit_distance_join",   # Ed-Join exact-distance verify
+    ],
+)
+def test_regex_contract_holds_on_vtab_and_non_ascii(spark, regex_edge_dir, qname):
+    q = all_queries()[qname]
+    scols, srows = _spark_rows(q.spark(spark, regex_edge_dir))
+    ocols, orows = _oracle(regex_edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
