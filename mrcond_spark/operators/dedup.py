@@ -143,7 +143,7 @@ def shingles_from_tokens(tok_col: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_udf(n: int = 3, distinct: bool = True):
+def shingle_udf(n: int = 3, distinct: bool = True, drop_empty: bool = False):
     """Arrow-batched shingler: text -> array<string> of word n-grams.
 
     Semantics identical to ``array_distinct(shingles_from_tokens(split(
@@ -153,6 +153,15 @@ def shingle_udf(n: int = 3, distinct: bool = True):
     out of the transform lambda (CollapseProject inlines it, going O(len^2)
     per doc); one C-speed regex split + list slice per doc is ~10x faster
     than the interpreted HOF at equal output. Self-contained closure.
+
+    ``drop_empty`` selects which ORACLE tokenization a consumer mirrors:
+    False (default) keeps boundary empty tokens and always emits >= 1 gram
+    (the q55/q75/q88 oracle style, and the q57 MLlib contract that no
+    HashingTF vector is all-zero); True filters empty tokens and returns an
+    EMPTY array for token-less text (the q123/q144 ``list_filter(t != '')``
+    oracle style, where an empty doc joins to nothing instead of pairing
+    with every other empty doc at similarity 1.0 — and where a doc with a
+    trailing tab/newline must NOT grow a phantom trailing gram).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -168,6 +177,11 @@ def shingle_udf(n: int = 3, distinct: bool = True):
         out = []
         for text in texts:
             toks = ws.split((text or "").strip(" ").lower())
+            if drop_empty:
+                toks = [t for t in toks if t]
+                if not toks:
+                    out.append([])
+                    continue
             n_sh = max(len(toks) - n + 1, 1)
             grams = [" ".join(toks[i : i + n]) for i in range(n_sh)]
             if distinct:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators import text
 from . import register
 
 #: q117 passage width (tokens) and boilerplate document-frequency threshold:
@@ -94,7 +95,7 @@ N_BUCKETS = 64
 def q117(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     toks = d.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), "[ \\t\\n\\f\\r]+")).alias("pos", "tok")
+        "doc_id", F.posexplode(F.split(F.trim("text"), text.WS_CLASS + "+")).alias("pos", "tok")
     )
     segs = (
         toks.groupBy("doc_id", F.floor(F.col("pos") / PASSAGE_W).cast("int").alias("seg_id"))
@@ -180,7 +181,7 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
 def q118(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     toks = d.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), "[ \\t\\n\\f\\r]+")).alias("tok")
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), text.WS_CLASS + "+")).alias("tok")
     )
     bucketed = toks.select(
         "doc_id",
@@ -330,7 +331,7 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf, "documents")
-    toks = d.select("lang", F.explode(F.split(F.trim("text"), "[ \\t\\n\\f\\r]+")).alias("tok"))
+    toks = d.select("lang", F.explode(F.split(F.trim("text"), text.WS_CLASS + "+")).alias("tok"))
     freq = (
         toks.groupBy("lang", "tok")
         .agg(F.count("*").alias("c"))
@@ -384,7 +385,7 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf, "documents")
-    arr = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
+    arr = F.split(F.lower(F.trim("text")), text.WS_CLASS + "+")
     feat = d.select(
         "doc_id",
         "source",

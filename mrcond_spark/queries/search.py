@@ -38,6 +38,12 @@ from ..operators import dedup, text
 from ..operators.setsim import prefix_setsim_join
 from . import register
 
+
+def _sql_in(terms):
+    # explicit IN-list rendering: repr of a 1-tuple would emit a trailing
+    # comma that only some SQL parsers tolerate
+    return "(" + ", ".join("'" + t + "'" for t in terms) + ")"
+
 #: q123 shingle width and Jaccard threshold (rational: gates stay integer).
 #: 3/4 is the near-dup regime; measured at sf0.1 it generates 4.4x fewer
 #: candidate pairs than 1/2 (70,731 vs 309,803) while the true-pair set is
@@ -107,7 +113,10 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     # four UDF passes here (measured 11.7 s -> ~6 s at sf0.1) — unlike the
     # single-consumer shingle stages the repo's recompute rule covers.
     sets = materialize_once(
-        d.select("doc_id", dedup.shingle_udf(SHINGLE_N)(F.col("text")).alias("sh"))
+        d.select(
+            "doc_id",
+            dedup.shingle_udf(SHINGLE_N, drop_empty=True)(F.col("text")).alias("sh"),
+        )
     )
     out = prefix_setsim_join(sets, id_col="doc_id", set_col="sh", t_num=T_NUM, t_den=T_DEN)
     return out.orderBy("id_a", "id_b")
@@ -129,10 +138,10 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         FROM dl
     ), tf AS (
         SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
-        WHERE tok IN {BM25_TERMS!r} GROUP BY doc_id, tok
+        WHERE tok IN {_sql_in(BM25_TERMS)} GROUP BY doc_id, tok
     ), dfq AS (
         SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
-        WHERE tok IN {BM25_TERMS!r} GROUP BY tok
+        WHERE tok IN {_sql_in(BM25_TERMS)} GROUP BY tok
     ), idf AS (
         SELECT tok,
                ROUND(ln(1 + ((c.n_docs - df) + 0.5) / (df + 0.5)), 7) AS idf
@@ -271,7 +280,7 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf, "documents")
-    arr = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
+    arr = F.split(F.lower(F.trim("text")), text.WS_CLASS + "+")
     feat = d.select(
         "doc_id",
         "lang",
@@ -308,12 +317,6 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
 #: q135 boolean query: documents containing ALL of MUST and NONE of MUST_NOT
 BOOL_MUST = ("spark", "window")
 BOOL_MUST_NOT = ("dup",)
-
-
-def _sql_in(terms):
-    # explicit IN-list rendering: repr of a 1-tuple would emit a trailing
-    # comma that only some SQL parsers tolerate
-    return "(" + ", ".join("'" + t + "'" for t in terms) + ")"
 
 
 @register(
@@ -427,7 +430,10 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     # same four-consumer shingle reuse rationale as q123
     sets = materialize_once(
-        d.select("doc_id", dedup.shingle_udf(SHINGLE_N)(F.col("text")).alias("sh"))
+        d.select(
+            "doc_id",
+            dedup.shingle_udf(SHINGLE_N, drop_empty=True)(F.col("text")).alias("sh"),
+        )
     )
     out = prefix_containment_join(
         sets, id_col="doc_id", set_col="sh", t_num=T_NUM, t_den=T_DEN

@@ -203,3 +203,39 @@ def test_regex_contract_holds_on_vtab_and_non_ascii(spark, regex_edge_dir, qname
     assert sorted(scols) == sorted(ocols)
     perm = [scols.index(c) for c in ocols]
     assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+
+
+@pytest.fixture(scope="module")
+def setsim_edge_dir(spark, tmp_path_factory) -> str:
+    """Edge whitespace + token-less docs for the set-similarity joins:
+    a trailing newline must not grow a phantom gram (the pair below is a
+    true Jaccard-1.0 duplicate), and NULL/empty/whitespace-only docs must
+    join to NOTHING (not pair with each other at similarity 1.0)."""
+    path = str(tmp_path_factory.mktemp("edge-setsim"))
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "en", "web", body, len(body)),
+        (2, "en", "web", body + "\n", len(body) + 1),
+        (3, "en", "web", "", 0),
+        (4, "en", "web", None, 0),
+        (5, "en", "web", " \t ", 3),
+        (6, "de", "web", "iota kappa lambda mu nu xi omicron pi rho", 41),
+    ]
+    _write_documents(spark, path, rows)
+    return path
+
+
+@pytest.mark.parametrize("qname", ["q123_setsim_join", "q144_containment_join"])
+def test_setsim_edge_whitespace_and_empty_docs(spark, setsim_edge_dir, qname):
+    q = all_queries()[qname]
+    scols, srows = _spark_rows(q.spark(spark, setsim_edge_dir))
+    ocols, orows = _oracle(setsim_edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
+    pair_ids = {(r[0], r[1]) for r in srows}
+    assert (1, 2) in pair_ids, "trailing-newline twin must be found as a dup"
+    for a, b in pair_ids:
+        assert a not in (3, 4, 5) and b not in (3, 4, 5), (
+            "token-less docs must join to nothing"
+        )
