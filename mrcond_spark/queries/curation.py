@@ -97,7 +97,12 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.posexplode(F.split(F.trim("text"), text.WS_CLASS + "+")).alias("pos", "tok")
     )
-    segs = (
+    from ..operators import materialize_once
+
+    # segs (scan + tokenize explode + passage reassembly — the heaviest
+    # stage) feeds THREE branches (dfreq, kept, tot) on different keys;
+    # without a materialization point each branch re-executes it
+    segs = materialize_once(
         toks.groupBy("doc_id", F.floor(F.col("pos") / PASSAGE_W).cast("int").alias("seg_id"))
         .agg(
             F.array_join(
@@ -106,7 +111,8 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
                 ),
                 " ",
             ).alias("seg")
-        )
+        ),
+        eager=False,
     )
     dfreq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
     kept = segs.join(dfreq, "seg").filter(F.col("df") <= MAX_DF)
@@ -190,10 +196,24 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
             F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long") % N_BUCKETS
         ).alias("bucket"),
     )
-    docb = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    per_bucket = bucketed.groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    from ..operators import materialize_once
+
+    # ONE corpus pass: aggregate to (doc, lang, bucket) counts once and
+    # materialize — lang is per-doc, so this IS docb with lang attached,
+    # and per_bucket folds from these partials instead of re-scanning.
+    # (The previous shape re-executed the scan+tokenize+md5 THREE times:
+    # docb, and per_bucket's subtree once each for totals and loglr.)
+    g = materialize_once(
+        bucketed.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("cnt")),
+        eager=False,
+    )
+    docb = g.select("doc_id", "bucket", "cnt")
+    per_bucket = materialize_once(
+        g.groupBy("bucket").agg(
+            F.sum("cnt").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("ct"),
+        ),
+        eager=False,
     )
     totals = per_bucket.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     loglr = per_bucket.crossJoin(F.broadcast(totals)).select(
@@ -261,10 +281,10 @@ GATE_Q = 0.25
     tags=("E5", "B11", "B31"),
 )
 def q124(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import text as text_ops
+    from ..operators import materialize_once
 
     d = load(spark, sf, "documents")
-    tc = text_ops.token_count(F.col("text"))
+    tc = text.token_count(F.col("text"))
     # empty/whitespace-only docs (0 tokens) get a NULL score and fall out of
     # the >= gate — a bare division would raise DIVIDE_BY_ZERO under ANSI
     # while the oracle's NULLIF silently dropped the row (divergence+crash)
@@ -273,6 +293,9 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.when(tc > 0, F.col("n_chars").cast("double") / tc).alias("score"),
     )
+    # feat feeds both the threshold aggregate and the gate probe side —
+    # materialized so the corpus tokenize runs once, not twice
+    feat = materialize_once(feat, eager=False)
     thr = feat.groupBy("lang").agg(
         F.expr(f"percentile_disc({GATE_Q}) WITHIN GROUP (ORDER BY score)").alias("thr")
     )
@@ -363,7 +386,8 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT doc_id, source,
            ROUND(uniq_ratio, 6) AS uniq_ratio_r,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY uniq_ratio), 6) AS pct_in_source
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY uniq_ratio NULLS LAST), 6) AS pct_in_source
     FROM feat
     ORDER BY doc_id
     """,
@@ -393,7 +417,10 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
             F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
         ).alias("uniq_ratio"),
     )
-    w = Window.partitionBy("source").orderBy("uniq_ratio")
+    # NULLS LAST pinned on both sides (Spark default NULLS FIRST vs
+    # DuckDB NULLS LAST): a NULL-text doc has a NULL ratio and would
+    # otherwise shift every percent_rank in its source between engines
+    w = Window.partitionBy("source").orderBy(F.asc_nulls_last("uniq_ratio"))
     return (
         feat.select(
             "doc_id",

@@ -239,3 +239,15 @@ def test_setsim_edge_whitespace_and_empty_docs(spark, setsim_edge_dir, qname):
         assert a not in (3, 4, 5) and b not in (3, 4, 5), (
             "token-less docs must join to nothing"
         )
+
+
+def test_q122_null_text_percent_rank_pinned_nulls_last(spark, edge_dir):
+    # edge_dir has a NULL-text doc (id 20): its uniq_ratio is NULL, and an
+    # unpinned window order (Spark NULLS FIRST vs DuckDB NULLS LAST) would
+    # shift every percent_rank in the source
+    q = all_queries()["q122_quality_calibration"]
+    scols, srows = _spark_rows(q.spark(spark, edge_dir))
+    ocols, orows = _oracle(edge_dir, q.oracle)
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert sorted((tuple(r[i] for i in perm) for r in srows), key=_key) == orows
