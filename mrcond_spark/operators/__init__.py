@@ -6,7 +6,44 @@ Each module documents the reference/north-star contract it implements and the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def seeded_md5(prefix: str, col: Column) -> Column:
+    """Lowercase-hex md5 of ``prefix + CAST(col AS STRING)`` — the engine's
+    deterministic per-row key (reproducible across retries, partitionings,
+    and engines, unlike ``rand()``). NULL col -> NULL digest (concat
+    propagates), so NULL keys fail loudly or fall through CASE arms rather
+    than silently hashing as the bare prefix. DuckDB oracle mirror:
+    ``md5('prefix' || CAST(x AS VARCHAR))`` (``||``, never ``concat()`` —
+    DuckDB's concat SKIPS NULL args).
+    """
+    return F.md5(F.concat(F.lit(prefix), col.cast("string")))
+
+
+def hex60(col: Column) -> Column:
+    """First 15 hex chars of a lowercase-hex digest column as an exact
+    BIGINT (60 bits — inside exact long range, where 16 chars would
+    overflow). DuckDB oracle mirror:
+    ``CAST(('0x' || substr(h, 1, 15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60(col: Column) -> Column:
+    """``hex60(md5(col))`` — unseeded 60-bit content hash."""
+    return hex60(F.md5(col))
+
+
+def seeded_hash60(prefix: str, col: Column) -> Column:
+    """``hex60(seeded_md5(prefix, col))`` — THE cross-engine bucketing
+    primitive (splits, samples, shuffles, centroid fits). Every consumer's
+    oracle restates the same two-step SQL; keeping the Spark side here
+    means one audited spot instead of per-query inline copies that can
+    drift (e.g. a substring length of 6 vs 15 changes the bucket space).
+    """
+    return hex60(seeded_md5(prefix, col))
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from . import seeded_hash60, seeded_md5
+
 #: 2^60 + 1 — divisor mapping the 60-bit md5 prefix to u in (0, 1)
 U_DEN = float(2**60 + 1)
 
@@ -33,8 +35,7 @@ def aes_key(id_col: Column, weight_col: Column, seed: str) -> Column:
     strictly positive. The 60-bit hex prefix keeps the conv() inside
     exact BIGINT range; +1 keeps u > 0 so ln() is finite.
     """
-    hk = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
-    h = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long")
+    h = seeded_hash60(f"{seed}:", id_col)
     u = (h + F.lit(1)) / F.lit(U_DEN)
     return F.log(u) / weight_col
 
@@ -103,7 +104,7 @@ def stratified_sample_exact(
     )[:extra]:
         quotas[s] += 1
 
-    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    hk = seeded_md5(f"{seed}:", F.col(id_col))
     ranked = grouped_hash_rank(
         df.withColumn("__hk", hk),
         [stratum_col],

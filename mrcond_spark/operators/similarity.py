@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from . import ensure_parallelism, materialize_once
+from . import ensure_parallelism, materialize_once, seeded_hash60
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -230,15 +230,7 @@ def sampled_kmeans_centroids(
     # past ~5e9 rows — a silent no-index cliff at exactly the scale this
     # build path exists for); max(1, ...) guards the residual rounding.
     denom = 1 << 40
-    hk = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"kmeans{seed}:"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    hk = seeded_hash60(f"kmeans{seed}:", F.col(id_col))
     sample_rows = (
         embeddings.filter((hk % denom) < max(1, int(frac * denom)))
         .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("nv"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from . import seeded_hash60
+
 #: split seed + percentages (out of 100 hash buckets), shared by the
 #: governance queries and their SQL oracles.
 SPLIT_SEED = "seed152"
@@ -35,8 +37,7 @@ def split_assignment(id_col: Column) -> Column:
     ``concat()`` SKIPS NULL args, which would silently hash a NULL key as
     the bare seed string and file it under 'train').
     """
-    hk = F.md5(F.concat(F.lit(f"{SPLIT_SEED}:"), id_col.cast("string")))
-    bucket = F.conv(F.substring(hk, 1, 15), 16, 10).cast("long") % 100
+    bucket = seeded_hash60(f"{SPLIT_SEED}:", id_col) % 100
     return (
         F.when(bucket < TRAIN_PCT, F.lit("train"))
         .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))

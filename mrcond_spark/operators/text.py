@@ -135,8 +135,7 @@ def doc_fingerprint_from_tokens(
     ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), which is what makes the
     fingerprint cross-engine hash-checkable."""
     if hash_fn == "md5":
-        def shingle_hash(s: Column) -> Column:
-            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        from . import md5_hash60 as shingle_hash
     else:
         shingle_hash = F.xxhash64
     shingle_hashes = F.transform(

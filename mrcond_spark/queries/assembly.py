@@ -33,8 +33,11 @@ N_SHARDS = 16
 
 #: token budget for the q97 prefix cut. An absolute number (not a corpus
 #: fraction) — the production semantics: "take shuffled docs until the run's
-#: token budget is filled". At sf0.01 (~27k whitespace tokens) it selects
-#: ~55% of the corpus; at smaller SFs it selects everything (still exact).
+#: token budget is filled". The documents table holds 500 docs / ~27k
+#: whitespace tokens at BOTH sf0.001 and sf0.01 (the generator does not
+#: shrink it below sf0.01), so the cut keeps ~55% of the corpus at every
+#: tested SF — the budget binds everywhere, which is what the oracle check
+#: needs (a selects-everything budget would never exercise the cut).
 TOKEN_BUDGET = 15_000
 
 #: corpus-prefix checkpoints for the q98 vocabulary-growth curve (doc_id is
@@ -51,7 +54,9 @@ def _shuffle_key(seed: str) -> F.Column:
     string == numeric order of the 128-bit value, which is what lets a
     leading hex character act as an order-aligned bucket split.
     """
-    return F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    from ..operators import seeded_md5
+
+    return seeded_md5(f"{seed}:", F.col("doc_id"))
 
 
 @register(
@@ -59,7 +64,7 @@ def _shuffle_key(seed: str) -> F.Column:
     oracle=f"""
     WITH h AS (
         SELECT doc_id,
-               md5(concat('seed96:', CAST(doc_id AS VARCHAR))) AS hk
+               md5('seed96:' || CAST(doc_id AS VARCHAR)) AS hk
         FROM documents
     )
     SELECT doc_id,
@@ -103,7 +108,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, source,
                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                t -> t != '')) AS n_tokens,
-               md5(concat('seed97:', CAST(doc_id AS VARCHAR))) AS hk
+               md5('seed97:' || CAST(doc_id AS VARCHAR)) AS hk
         FROM documents
     ),
     cum AS (
@@ -118,14 +123,14 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
            CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum
     WHERE cum_tokens <= {TOKEN_BUDGET}
-    ORDER BY cum_tokens
+    ORDER BY cum_tokens, doc_id
     """,
     doc="token-budget prefix cut: shuffle the corpus deterministically "
     "(seeded md5 order), then keep docs while the running token total stays "
     "within the training budget — 'fill the run with the first B tokens of "
     "the shuffled stream'. The running sum is the distributed prefix-sum "
-    "operator (operators/prefix_sum.py): the leading hex char of the "
-    "ordering key is an order-aligned 16-way bucket split, per-bucket "
+    "operator (operators/prefix_sum.py): the two leading hex chars of the "
+    "ordering key are an order-aligned 256-way bucket split, per-bucket "
     "totals fold into literal offsets (bounded collect), the window runs "
     "partitioned per bucket — the oracle's global SUM OVER (ORDER BY) "
     "single-reducer shape never appears in the Spark plan (explicit "
@@ -157,7 +162,9 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
-        .orderBy("cum_tokens")
+        # doc_id tiebreak: a zero-token doc ties its predecessor on
+        # cum_tokens, and the convention requires a total ORDER BY
+        .orderBy("cum_tokens", "doc_id")
     )
 
 

@@ -195,8 +195,8 @@ _U_DEN = U_DEN
     oracle=f"""
     WITH keyed AS (
         SELECT doc_id, n_chars,
-               ln((CAST(('0x' || substr(md5(concat('seed140:',
-                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+               ln((CAST(('0x' || substr(md5('seed140:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
                   / {_U_DEN!r}) / n_chars AS k
         FROM documents
     ),

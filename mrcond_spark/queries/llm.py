@@ -812,7 +812,7 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id
+                   ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 5
@@ -1279,7 +1279,7 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY md5(concat('seed91:', CAST(doc_id AS VARCHAR))), doc_id
+                   ORDER BY md5('seed91:' || CAST(doc_id AS VARCHAR)), doc_id
                ) AS strat_rn
         FROM deduped WHERE dup_rn = 1
     ),
@@ -1400,7 +1400,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     kept AS (
         SELECT d.source
         FROM documents d JOIN probs p USING (source)
-        WHERE CAST(('0x' || substr(md5(concat('seed93:', CAST(d.doc_id AS VARCHAR))), 1, 15))
+        WHERE CAST(('0x' || substr(md5('seed93:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
                    AS BIGINT) / 1152921504606846976.0 < p.keep_p
     )
     SELECT p.source,
