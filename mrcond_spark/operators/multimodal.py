@@ -9,8 +9,11 @@ when installed; only the no-decoder-for-format case raises
 the stage.
 
 100 TB rule: blobs stay OUT of row storage in production — the blob column
-carries an object-store path + byte-range, and ``mapInPandas`` workers fetch
-lazily per batch. In-row binary is supported for small assets (< ~1 MB).
+carries an object-store path + byte-range for ``mapInPandas`` workers to
+fetch lazily per batch. The fetch itself is a DEPLOYMENT STUB (no object
+store exists in this container): this module implements the in-row binary
+path (small assets, < ~1 MB), and a ``data is NULL`` uri-only row is tagged
+``decode_error='empty payload'`` by the poison rule rather than fetched.
 """
 
 from __future__ import annotations
@@ -62,66 +65,105 @@ class DecodeUnavailable(NotImplementedError):
     """Raised when no decoder can handle the payload's format."""
 
 
-def _decode_netpbm(data: bytes):
-    """Pure-numpy decoder for binary netpbm images (P5 grayscale / P6 RGB).
+def _make_image_decoder(exc_type: type = ValueError):
+    """THE canonical image decode chain (native netpbm + PIL if installed),
+    returned as a SELF-CONTAINED closure.
 
-    Real decode with zero media-library dependency — the formats are
-    uncompressed, so header parse + reshape IS the full decode. Returns
-    (height, width, channels) uint8 ndarray.
+    Why a factory: the decode logic used to be copied into every
+    ``mapInPandas`` closure (executors of an unrelated driver cannot import
+    this package, so closures must not reference module-level helpers), and
+    the copies drifted — different validation, different exception types.
+    Calling this factory ON THE DRIVER and capturing its product keeps one
+    source of truth: cloudpickle serializes the returned nested function by
+    value, closure cells included.
+
+    ``exc_type`` parameterizes the error contract: the module-level
+    ``decode_image`` wraps with ``DecodeUnavailable``; executor-side
+    closures keep the default ``ValueError`` because a package-defined
+    exception class pickles by REFERENCE and would force the import the
+    closure exists to avoid.
+
+    Every malformed-payload path raises ``exc_type`` with a diagnostic
+    message — truncated header/raster, non-numeric header tokens, bad
+    maxval — never a raw numpy/int() error. maxval < 255 rasters are
+    scaled to full 0-255 intensity (conformant netpbm stores 0..maxval;
+    unscaled stats/re-encodes silently darken low-maxval images).
     """
-    import numpy as np
 
-    if not data.startswith((b"P5", b"P6")):
-        return None
-    channels = 3 if data[:2] == b"P6" else 1
-    # header = magic, width, height, maxval as whitespace-separated tokens
-    # (comment lines starting with '#' allowed between tokens)
-    tokens: list[int] = []
-    pos = 2
-    while len(tokens) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while pos < len(data) and data[pos : pos + 1] != b"\n":
-                pos += 1
-            continue
-        start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval, then raster
-    width, height, maxval = tokens
-    if maxval > 255:
-        raise DecodeUnavailable("16-bit netpbm not supported")
-    raster = np.frombuffer(data, dtype=np.uint8, count=width * height * channels, offset=pos)
-    return raster.reshape(height, width, channels)
+    def decode(data):
+        import io
+
+        import numpy as np
+
+        if not data:
+            raise exc_type("empty payload")
+
+        if bytes(data[:2]) in (b"P5", b"P6"):
+            channels = 3 if bytes(data[:2]) == b"P6" else 1
+            # header = magic, width, height, maxval as whitespace-separated
+            # tokens (comment lines starting with '#' allowed between tokens)
+            tokens, pos = [], 2
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                if pos >= len(data):
+                    raise exc_type("truncated netpbm header")
+                if data[pos : pos + 1] == b"#":
+                    while pos < len(data) and data[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tok = bytes(data[start:pos])
+                if not tok.isdigit():
+                    raise exc_type(f"malformed netpbm header token {tok[:8]!r}")
+                tokens.append(int(tok))
+            pos += 1  # single whitespace after maxval, then raster
+            width, height, maxval = tokens
+            if maxval > 255:
+                raise exc_type("16-bit netpbm not supported")
+            if maxval < 1:
+                raise exc_type(f"invalid netpbm maxval {maxval}")
+            need = width * height * channels
+            if pos + need > len(data):
+                raise exc_type(
+                    f"truncated netpbm raster: needs {need} bytes, "
+                    f"{len(data) - pos} remain"
+                )
+            arr = np.frombuffer(data, np.uint8, need, pos).reshape(
+                height, width, channels
+            )
+            if maxval != 255:
+                arr = (arr.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+            return arr
+
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError:
+            raise exc_type(
+                f"no decoder for format (magic={bytes(data[:4])!r}); "
+                "PIL not installed"
+            ) from None
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+
+    return decode
+
+
+_decode_image_canonical = _make_image_decoder(DecodeUnavailable)
 
 
 def decode_image(data: bytes):
     """Decode image bytes to an (H, W, C) uint8 numpy array.
 
     Decode chain: native netpbm (always available — pure numpy), then PIL
-    for compressed formats if installed, else ``DecodeUnavailable``. The
-    chain makes the operator REAL in a no-media-libs container (netpbm) while
-    using the full decoder when the environment has one.
+    for compressed formats if installed, else ``DecodeUnavailable`` (also
+    raised for malformed/truncated payloads — callers catch ONE type). The
+    chain makes the operator REAL in a no-media-libs container (netpbm)
+    while using the full decoder when the environment has one.
     """
-    if not data:
-        raise DecodeUnavailable("empty payload")
-    arr = _decode_netpbm(data)
-    if arr is not None:
-        return arr
-    try:
-        from PIL import Image  # type: ignore[import-not-found]
-    except ImportError as e:
-        raise DecodeUnavailable(
-            f"no decoder for format (magic={data[:4]!r}); PIL not installed"
-        ) from e
-    import io
-
-    import numpy as np
-
-    with Image.open(io.BytesIO(data)) as im:
-        return np.asarray(im.convert("RGB"))
+    return _decode_image_canonical(data)
 
 
 def decoded_image_features(assets: DataFrame) -> DataFrame:
@@ -130,9 +172,10 @@ def decoded_image_features(assets: DataFrame) -> DataFrame:
     yield NULL dims and an error tag instead of failing the batch (at 100 TB
     a poison blob must not kill the stage).
 
-    The decode chain is re-declared inside the closure — executors of an
-    unrelated driver process cannot import this package (cloudpickle
-    serializes nested functions by value).
+    The decoder closure is built on the DRIVER by ``_make_image_decoder``
+    and captured by value — executors of an unrelated driver process cannot
+    import this package (cloudpickle serializes nested functions by value),
+    and the one canonical implementation cannot drift per-operator.
     """
     out_schema = StructType(
         [
@@ -145,45 +188,10 @@ def decoded_image_features(assets: DataFrame) -> DataFrame:
             StructField("decode_error", StringType(), True),
         ]
     )
+    decode = _make_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import numpy as np
         import pandas as _pd
-
-        def netpbm(data):
-            if not data.startswith((b"P5", b"P6")):
-                return None
-            channels = 3 if data[:2] == b"P6" else 1
-            tokens, pos = [], 2
-            while len(tokens) < 3:
-                while pos < len(data) and data[pos : pos + 1].isspace():
-                    pos += 1
-                if data[pos : pos + 1] == b"#":
-                    while pos < len(data) and data[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(data) and not data[pos : pos + 1].isspace():
-                    pos += 1
-                tokens.append(int(data[start:pos]))
-            pos += 1
-            w, h, maxval = tokens
-            if maxval > 255:
-                raise ValueError("16-bit netpbm not supported")
-            return np.frombuffer(data, np.uint8, w * h * channels, pos).reshape(h, w, channels)
-
-        def decode(data):
-            arr = netpbm(data) if data else None
-            if arr is not None:
-                return arr
-            try:
-                from PIL import Image  # type: ignore[import-not-found]
-            except ImportError:
-                raise ValueError("undecodable: no PIL") from None
-            with Image.open(io.BytesIO(data)) as im:
-                return np.asarray(im.convert("RGB"))
 
         for pdf in batches:
             rows = []
@@ -211,19 +219,13 @@ def decoded_image_features(assets: DataFrame) -> DataFrame:
                 ],
             )
 
-    return assets.filter(F.col("modality") == "image").mapInPandas(run, schema=out_schema)
-
-
-def deterministic_fake_feature(data: bytes | None, dim: int = 8) -> list[float]:
-    """Deterministic stand-in featurizer: byte-histogram moments. Lets tests
-    assert the full mapInPandas plumbing without media libs."""
-    if not data:
-        return [0.0] * dim
-    acc = [0] * dim
-    for i, byte in enumerate(data):
-        acc[i % dim] += byte
-    total = max(sum(acc), 1)
-    return [round(a / total, 6) for a in acc]
+    return (
+        assets.filter(F.col("modality") == "image")
+        # only the id and the bytes cross the Arrow boundary — the uri /
+        # media_type / meta struct would ride every batch unused otherwise
+        .select("asset_id", "data")
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
@@ -327,44 +329,11 @@ def resize_images(assets: DataFrame, out_w: int = 16, out_h: int = 12) -> DataFr
     touches them.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+    decode = _make_image_decoder()
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as _pd
-
-        def netpbm(data):
-            if not data.startswith((b"P5", b"P6")):
-                return None
-            channels = 3 if data[:2] == b"P6" else 1
-            tokens, pos = [], 2
-            while len(tokens) < 3:
-                while pos < len(data) and data[pos : pos + 1].isspace():
-                    pos += 1
-                if data[pos : pos + 1] == b"#":
-                    while pos < len(data) and data[pos : pos + 1] != b"\n":
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(data) and not data[pos : pos + 1].isspace():
-                    pos += 1
-                tokens.append(int(data[start:pos]))
-            pos += 1
-            w, h, maxval = tokens
-            if maxval > 255:
-                raise ValueError("16-bit netpbm not supported")
-            return np.frombuffer(data, np.uint8, w * h * channels, pos).reshape(h, w, channels)
-
-        def decode(data):
-            arr = netpbm(data) if data else None
-            if arr is not None:
-                return arr
-            try:
-                from PIL import Image  # type: ignore[import-not-found]
-            except ImportError:
-                raise ValueError("undecodable: no PIL") from None
-            with Image.open(io.BytesIO(data)) as im:
-                return np.asarray(im.convert("RGB"))
 
         def encode(arr):
             h, w, c = arr.shape
@@ -395,13 +364,71 @@ def resize_images(assets: DataFrame, out_w: int = 16, out_h: int = 12) -> DataFr
                 columns=["asset_id", "width", "height", "channels", "data", "resize_error"],
             )
 
-    return assets.filter(F.col("modality") == "image").mapInPandas(run, schema=RESIZE_SCHEMA)
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "data")  # narrow the Arrow transfer (see features)
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+    )
 
 
 # --------------------------------------------------------------------------
 # audio: REAL WAV/PCM16 decode (pure numpy — RIFF is uncompressed, so the
 # no-media-libs container decodes it natively, same story as netpbm images)
 # --------------------------------------------------------------------------
+def _make_wav_decoder(exc_type: type = ValueError):
+    """THE canonical RIFF/WAVE PCM16 chunk walker, returned as a
+    self-contained closure (same factory rationale as
+    ``_make_image_decoder`` — the executor-side copy had silently dropped
+    the truncation and fmt-size guards the module-level decoder is
+    test-pinned on). All malformed-payload paths raise ``exc_type`` —
+    never struct.error / a raw numpy error."""
+
+    def decode(data):
+        import struct
+
+        import numpy as np
+
+        if not data or len(data) < 12 or bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+            raise exc_type(f"not a RIFF/WAVE payload (magic={bytes(data[:4]) if data else b''!r})")
+        pos, sr, bits, fmt, n_ch = 12, None, None, None, None
+        while pos + 8 <= len(data):
+            cid, sz = bytes(data[pos : pos + 4]), struct.unpack_from("<I", data, pos + 4)[0]
+            body = pos + 8
+            if body + sz > len(data):
+                raise exc_type(
+                    f"truncated chunk {cid!r}: declares {sz} bytes, "
+                    f"{len(data) - body} remain"
+                )
+            if cid == b"fmt ":
+                if sz < 16:
+                    raise exc_type(f"fmt chunk too short ({sz} bytes)")
+                fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
+                bits = struct.unpack_from("<H", data, body + 14)[0]
+            elif cid == b"data":
+                if fmt is None:
+                    raise exc_type("data chunk before fmt chunk")
+                if fmt != 1 or bits != 16:
+                    raise exc_type(
+                        f"only PCM16 decodable natively (fmt={fmt}, bits={bits})"
+                    )
+                samples = np.frombuffer(data, np.int16, sz // 2, body)
+                if n_ch and n_ch > 1:  # interleaved -> mono mixdown
+                    samples = (
+                        samples[: sz // 2 // n_ch * n_ch]
+                        .reshape(-1, n_ch)
+                        .mean(axis=1)
+                        .astype(np.int16)
+                    )
+                return sr, samples
+            pos = body + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+        raise exc_type("no data chunk")
+
+    return decode
+
+
+_decode_wav_canonical = _make_wav_decoder(DecodeUnavailable)
+
+
 def decode_wav_pcm16(data: bytes):
     """Decode a RIFF/WAVE PCM16 payload to (sample_rate, int16 numpy array).
 
@@ -413,44 +440,7 @@ def decode_wav_pcm16(data: bytes):
     (compressed codecs need a media lib this container does not ship —
     the plumbing around the decode is what must be real at 100 TB:
     schema, batching, poison safety)."""
-    import struct
-
-    import numpy as np
-
-    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise DecodeUnavailable(f"not a RIFF/WAVE payload (magic={data[:4]!r})")
-    pos, sr, bits, fmt, n_ch = 12, None, None, None, None
-    while pos + 8 <= len(data):
-        cid, sz = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
-        body = pos + 8
-        if body + sz > len(data):
-            raise DecodeUnavailable(
-                f"truncated chunk {cid!r}: declares {sz} bytes, "
-                f"{len(data) - body} remain"
-            )
-        if cid == b"fmt ":
-            if sz < 16:
-                raise DecodeUnavailable(f"fmt chunk too short ({sz} bytes)")
-            fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
-            bits = struct.unpack_from("<H", data, body + 14)[0]
-        elif cid == b"data":
-            if fmt is None:
-                raise DecodeUnavailable("data chunk before fmt chunk")
-            if fmt != 1 or bits != 16:
-                raise DecodeUnavailable(
-                    f"only PCM16 decodable natively (fmt={fmt}, bits={bits})"
-                )
-            samples = np.frombuffer(data, np.int16, sz // 2, body)
-            if n_ch and n_ch > 1:  # interleaved -> mono mixdown for features
-                samples = (
-                    samples[: sz // 2 // n_ch * n_ch]
-                    .reshape(-1, n_ch)
-                    .mean(axis=1)
-                    .astype(np.int16)
-                )
-            return sr, samples
-        pos = body + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
-    raise DecodeUnavailable("no data chunk")
+    return _decode_wav_canonical(data)
 
 
 def decoded_audio_features(assets: DataFrame) -> DataFrame:
@@ -461,11 +451,12 @@ def decoded_audio_features(assets: DataFrame) -> DataFrame:
     Undecodable payloads yield NULL features and an error tag instead of
     failing the batch (poison-blob rule).
 
-    The decoder is re-declared inside the closure — executors of an
-    unrelated driver process cannot import this package (cloudpickle
-    serializes nested functions by value). 100 TB: one narrow mapInPandas
-    pass, Arrow-batched; blobs stay out-of-row in production (uri +
-    byte-range fetch, same as the image path)."""
+    The decoder closure is built on the driver by ``_make_wav_decoder``
+    and captured by value — executors of an unrelated driver process
+    cannot import this package, and the one canonical walker cannot drift
+    per-operator. 100 TB: one narrow mapInPandas pass, Arrow-batched;
+    blobs stay out-of-row in production (uri + byte-range fetch, same as
+    the image path)."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -479,51 +470,20 @@ def decoded_audio_features(assets: DataFrame) -> DataFrame:
         ]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
+    decode = _make_wav_decoder()
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as _pd
 
-        def decode(data):
-            if (
-                not data
-                or len(data) < 12
-                or data[:4] != b"RIFF"
-                or data[8:12] != b"WAVE"
-            ):
-                raise ValueError(f"not a RIFF/WAVE payload (magic={data[:4]!r})")
-            pos, sr, bits, fmt, n_ch = 12, None, None, None, None
-            while pos + 8 <= len(data):
-                cid = data[pos : pos + 4]
-                sz = struct.unpack_from("<I", data, pos + 4)[0]
-                body = pos + 8
-                if cid == b"fmt ":
-                    fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
-                    bits = struct.unpack_from("<H", data, body + 14)[0]
-                elif cid == b"data":
-                    if fmt is None:
-                        raise ValueError("data chunk before fmt chunk")
-                    if fmt != 1 or bits != 16:
-                        raise ValueError(f"only PCM16 (fmt={fmt}, bits={bits})")
-                    samples = np.frombuffer(data, np.int16, sz // 2, body)
-                    if n_ch and n_ch > 1:
-                        samples = (
-                            samples[: sz // 2 // n_ch * n_ch]
-                            .reshape(-1, n_ch)
-                            .mean(axis=1)
-                            .astype(np.int16)
-                        )
-                    return sr, samples
-                pos = body + sz + (sz & 1)
-            raise ValueError("no data chunk")
-
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                rec = {"asset_id": r["asset_id"]}
+            # zip over the two needed columns — iterrows would box a pandas
+            # Series per row for no benefit
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                rec = {"asset_id": aid}
                 try:
-                    sr, s = decode(r["data"])
+                    sr, s = decode(data)
                     x = s.astype(np.float64) / 32768.0
                     rec.update(
                         sample_rate=int(sr),

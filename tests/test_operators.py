@@ -979,3 +979,45 @@ def test_minhash_probe_reference_recall_and_rejection(spark):
     for i in range(0, 20, 4):
         assert (100 + i, i) in pairs, f"planted copy {100 + i} missed its source"
     assert not any(n == 900 for n, _ in pairs), "novel doc produced candidates"
+
+
+def test_decode_image_malformed_payloads_raise_decode_unavailable():
+    """Truncated/malformed netpbm must raise DecodeUnavailable (the one
+    catchable type), never a raw ValueError from int()/np.frombuffer, and
+    low-maxval rasters scale to true 0-255 intensity."""
+    # truncated raster: header declares 10x10 but only a few bytes follow
+    with pytest.raises(multimodal.DecodeUnavailable, match="truncated netpbm raster"):
+        multimodal.decode_image(b"P5\n10 10\n255\n" + bytes(5))
+    # non-numeric header token
+    with pytest.raises(multimodal.DecodeUnavailable, match="malformed netpbm header"):
+        multimodal.decode_image(b"P5\nabc 10\n255\n" + bytes(100))
+    # header cut off mid-token stream
+    with pytest.raises(multimodal.DecodeUnavailable, match="truncated netpbm header"):
+        multimodal.decode_image(b"P6")
+    # NULL/empty payload
+    with pytest.raises(multimodal.DecodeUnavailable, match="empty payload"):
+        multimodal.decode_image(None)
+    # maxval scaling: a maxval=15 raster holding its own maximum decodes to
+    # full intensity 255, not raw 15
+    arr = multimodal.decode_image(b"P5\n2 1\n15\n" + bytes([15, 0]))
+    assert arr[0, 0, 0] == 255 and arr[0, 1, 0] == 0
+
+
+def test_decoded_audio_features_distributed_truncation_guard(spark):
+    """The DISTRIBUTED wav decoder is the same canonical walker as the
+    module-level one (the executor copy once silently dropped the
+    truncation and fmt-size guards): a data chunk declaring more bytes
+    than remain must produce the walker's own diagnostic tag, not a raw
+    numpy buffer error."""
+    import struct
+
+    good = multimodal.make_wav_pcm16(8000, [0] * 16)
+    bad = bytearray(good)
+    data_pos = good.index(b"data")
+    struct.pack_into("<I", bad, data_pos + 4, 9999)  # declares 9999 bytes
+    rows = [(1, "audio", None, bytes(bad), "audio/wav", None)]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = multimodal.decoded_audio_features(assets).collect()
+    assert len(got) == 1
+    assert got[0]["decode_error"] and "truncated chunk" in got[0]["decode_error"]
+    assert got[0]["rms"] is None
