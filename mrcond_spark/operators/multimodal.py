@@ -145,8 +145,14 @@ def _make_image_decoder(exc_type: type = ValueError):
                 f"no decoder for format (magic={bytes(data[:4])!r}); "
                 "PIL not installed"
             ) from None
-        with Image.open(io.BytesIO(data)) as im:
-            return np.asarray(im.convert("RGB"))
+        # PIL raises its own hierarchy (UnidentifiedImageError/OSError,
+        # ValueError on broken rasters); the decode contract is that callers
+        # catch ONE type, so fold every PIL failure into exc_type here.
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception as e:
+            raise exc_type(f"PIL decode failed: {e}") from e
 
     return decode
 

@@ -66,25 +66,33 @@ def register(
 #: q185, q152/q163, q117, q134, q120, q143) — all seventeen went
 #: driver-green in CORRECTNESS_r08 (49/49 oracle-checkable rows),
 #: attestation debt 52→35.
-#: Round 9 rotates those seventeen OUT (all driver-green r8) and
-#: rotates IN the round-8 judge's priority list verbatim — exactly 17
-#: names: q164 applyInArrow (the E7 tier's only unattested rep), the
-#: drift/stats tier q133 CUSUM / q141 KL drift / q115 z-score outliers,
-#: q116 salted shuffle join, the vector pair q107 centroids / q111 int8
-#: quantization, q108 PMI, q109 width_bucket histogram, q110 TWAP,
-#: q128 max drawdown, q129 SCD2, q131 session paths, q135 boolean
-#: retrieval, q147 trailing RANGE frame, q150 interval union, q113
-#: Markov transitions. Operator coverage across the swap: B23 (was
-#: q171/q179/q185) → q110/q129/q131/q147/q150; B25 (was q176/q178) →
-#: q115/q109; B16 (was q185) → q110/q113/q128/q129/q131/q133/q147/q150;
-#: B26 (was q181) → q107/q111; E3/E4 keep fixed q41/q49/q54 plus
-#: q107/q111; every other tag keeps a fixed-block representative
+#: Round 9 rotated in the round-8 judge's priority list verbatim (q164
+#: q133 q141 q115 q116 q107 q108 q109 q110 q111 q128 q129 q131 q135
+#: q147 q150 q113) — all seventeen driver-green in CORRECTNESS_r09
+#: (49/49 oracle-checkable rows), attestation debt 35→18.
+#: Round 10 rotates those seventeen OUT (all driver-green r9) and
+#: rotates IN the ENTIRE remaining unattested pool — the round-9
+#: judge's list verbatim, 18 names: q121, q122, q124, q126, q130,
+#: q136–q139, q142, the governance remainder q155 q156 q158 q160–q162,
+#: q168 per-group OLS, q169 stratified budget sample. 17 rotation
+#: slots + ONE fixed-slot swap: q23_math_funcs (B24, driver-green r9)
+#: steps out — the incoming pool carries SIX B24 reps (q121 q142 q158
+#: q160 q161 q168), the deepest redundancy of any swappable slot
+#: (the round-9 judge suggested q27, but B21 has no other tagged rep
+#: in the corpus, so q27 stays). Coverage across the swap: B24 (was
+#: q23) → q121/q142/q158/q160/q161/q168; B15 gains q121/q122/q130/
+#: q155/q169; B16 keeps q126/q137/q138 + fixed q31; every other tag
+#: keeps a fixed-block representative
 #: (test_driver_window_covers_every_operator re-audited green).
-#: Remaining round-10 rotation pool (oracle-bearing, builder-green, no
-#: driver verdict yet): q121, q122, q124, q126, q130, q136–q139, q142,
-#: the governance remainder q155 q156 q158 q160–q162, q168 per-group
-#: OLS, q169 stratified budget sample — 18 queries, one more round at
-#: 17 slots plus one swap retires the debt.
+#: ATTESTATION DEBT AFTER THIS WINDOW: ZERO — every oracle-bearing
+#: query in the corpus (176/176) will hold a green driver verdict.
+#: ROTATION HYGIENE POLICY (standing, effective once debt is zero):
+#: from round 11 on, the ~17 rotation slots cycle the OLDEST driver
+#: verdicts back through the window (oldest round first, ties by query
+#: number) so no green row's verdict is ever more than ~5 rounds older
+#: than the code it attests. First re-attestation window (round 11):
+#: the r1–r3 rows q07 q12 q14 q20 q22 q24 q25 q42 q44 q45 q46 q51 q52
+#: q53 plus the oldest r4 rows.
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -117,9 +125,10 @@ PRIORITY: tuple[str, ...] = (
     "q18_union",              # B19
     "q19_intersect",          # B20 (EXCEPT variant q20 green r1–r2)
     "q91_curation_pipeline",  # E1+E5+E7+B31 end-to-end composition
-    "q27_distinct",           # B21
+    "q27_distinct",           # B21 (sole B21 rep — stays; see ROTATION note)
     "q21_string_funcs",       # B22
-    "q23_math_funcs",         # B24
+    # q23_math_funcs (B24) swapped out r10 — green r9; the incoming pool
+    # carries six B24 reps (q121 q142 q158 q160 q161 q168)
     "q26_json_funcs",         # B27
     "q29_subquery",           # B28
     "q30_cte",                # B29
@@ -135,25 +144,27 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-9 rotation slots (round-8 judge priority list, verbatim —
-    # see ROTATION note above for the operator-coverage audit)
-    "q164_arrow_grouped_hist",  # E7 applyInArrow (the tier's only unattested rep)
-    "q133_cusum_shift",       # E5/E7/B16 CUSUM change-point detection
-    "q141_token_kl_drift",    # E5/B11 token-distribution KL drift
-    "q115_zscore_outliers",   # B11/B24/B25 per-group z-score outliers
-    "q116_salted_join",       # B4/B11 salted skew-join
-    "q107_embedding_centroids",  # E3/E4/B26 per-category embedding centroids
-    "q108_pmi_collocations",  # E5/B18 PMI collocation mining
-    "q109_acctbal_histogram", # B24/B25/B11 width_bucket histogram
-    "q110_twap",              # B16/B23/B11 time-weighted average price
-    "q111_vector_quantize",   # E3/E4/B26 int8 quantization audit
-    "q128_max_drawdown",      # B16/B11 running-peak max drawdown
-    "q129_scd2_history",      # B15/B16/B23 SCD2 validity intervals
-    "q131_session_paths",     # B15/B16/B23/B18 top session event paths
-    "q135_boolean_retrieval", # E5/B6/B7 AND/NOT boolean retrieval
-    "q147_trailing_window",   # B16/B23 trailing RANGE frame average
-    "q150_interval_coverage", # B16/B23/B11 interval union/coverage
-    "q113_markov_transitions",  # B15/B16/B11 Markov transition probabilities
+    # round-10 rotation slots (round-9 judge priority list, verbatim:
+    # the ENTIRE remaining unattested pool — debt goes to zero with this
+    # window; see ROTATION note above for the operator-coverage audit)
+    "q121_zipf_slope",        # B15/B24/E5 Zipf rank-frequency slope
+    "q122_quality_calibration",  # B15/E5 quality-score decile calibration
+    "q124_adaptive_quality_gate",  # B11/B31/E5 quantile-threshold gate
+    "q126_linear_interpolation",  # B16/B23 gap-fill linear interpolation
+    "q130_rrf_fusion",        # B15/B18/E5 reciprocal-rank fusion
+    "q136_integrity_audit",   # B11/B23/B5 referential-integrity audit
+    "q137_conversion_lag",    # B11/B16/B23 view→buy conversion lag
+    "q138_skyline_frontier",  # B11/B16 2-D skyline (Pareto frontier)
+    "q139_edit_blocking_pairs",  # B22/E2 length+prefix edit-distance blocking
+    "q142_char_entropy",      # B22/B24/E5 per-doc character entropy
+    "q155_majority_vote",     # B11/B15/B25 inter-annotator majority vote
+    "q156_bpe_pair_stats",    # B18/B26/E5 BPE-style pair statistics
+    "q158_source_epochs",     # B11/B24/E5 per-source epoch weighting
+    "q160_chi_square",        # B11/B24/E5 chi-square independence test
+    "q161_benford_audit",     # B11/B22/B24 Benford first-digit audit
+    "q162_duplication_profile",  # B11/E1 corpus duplication profile
+    "q168_group_ols",         # B11/B24/B4 per-group OLS regression
+    "q169_stratified_budget_sample",  # B15/B31/E5 stratified budget sample
 )
 
 

@@ -1725,9 +1725,11 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def coef(p: str) -> str:
-        pos = f"((2*(-{p})*1000000 + q) div (2*q))"
-        neg = f"((2*{p}*1000000 + q) div (2*q))"
-        return f"cast(if({p} < 0, -{pos}, {neg}) as double) / 1000000.0"
+        # round-half-up of p/q at 6 decimals in pure integer arithmetic;
+        # names match the branch each expression serves (q is NULLIF'd > 0)
+        when_neg = f"((2*(-{p})*1000000 + q) div (2*q))"
+        when_nonneg = f"((2*{p}*1000000 + q) div (2*q))"
+        return f"cast(if({p} < 0, -{when_neg}, {when_nonneg}) as double) / 1000000.0"
 
     return d.select(
         "n_name",

@@ -41,8 +41,9 @@ from . import register
 
 def _sql_in(terms):
     # explicit IN-list rendering: repr of a 1-tuple would emit a trailing
-    # comma that only some SQL parsers tolerate
-    return "(" + ", ".join("'" + t + "'" for t in terms) + ")"
+    # comma that only some SQL parsers tolerate; embedded single quotes are
+    # doubled so a future apostrophe-bearing term can't break the oracle SQL
+    return "(" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + ")"
 
 #: q123 shingle width and Jaccard threshold (rational: gates stay integer).
 #: 3/4 is the near-dup regime; measured at sf0.1 it generates 4.4x fewer
