@@ -5,25 +5,36 @@ Usage:
     python tools/drive_contract.py                       # full corpus at sf0.01
     python tools/drive_contract.py --sf /root/testdata/sf0.1 q107_... q111_...
                                                          # scoped sf0.1 sweep
+    python tools/drive_contract.py --sf /root/repo/.sf1 --driver-mem 32g \
+        --master 'local[16]' q132_kcore ...              # sf1-scale sweep
 
 With explicit query names only those run (and the entry() smoke is skipped —
 the scoped form exists for window sweeps, not driver simulation).
+
+--driver-mem matters for above-sf0.1 sweeps: in local mode the driver heap
+IS the executor heap, and Spark's 1g default dies on sf1's 6M-row lineitem
+(round-10 lesson: the first sf1 sweep lost its JVM at q120 and every later
+query recorded a bogus ConnectionRefused failure).
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.01"
+MASTER = "local[8]"
+DRIVER_MEM = None
 names: list[str] = []
 argv = sys.argv[1:]
 i = 0
+USAGE = "usage: drive_contract.py [--sf SF_DIR] [--master local[N]] [--driver-mem 32g] [query_name ...]"
+FLAGS = {"--sf": "SF", "--master": "MASTER", "--driver-mem": "DRIVER_MEM"}
 while i < len(argv):
-    if argv[i] == "--sf":
+    if argv[i] in FLAGS:
         if i + 1 >= len(argv):
-            raise SystemExit("usage: drive_contract.py [--sf SF_DIR] [query_name ...]")
-        SF = argv[i + 1]
+            raise SystemExit(USAGE)
+        globals()[FLAGS[argv[i]]] = argv[i + 1]
         i += 2
     elif argv[i].startswith("-"):
-        raise SystemExit(f"unknown flag {argv[i]!r}; usage: drive_contract.py [--sf SF_DIR] [query_name ...]")
+        raise SystemExit(f"unknown flag {argv[i]!r}; {USAGE}")
     else:
         names.append(argv[i])
         i += 1
@@ -32,9 +43,16 @@ ONLY = set(names)
 from pyspark.sql import SparkSession
 import duckdb
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false").getOrCreate())
+builder = (SparkSession.builder.master(MASTER)
+           .config("spark.sql.session.timeZone", "UTC")
+           # the console progress bar writes \r-glued [Stage ...] fragments
+           # that corrupt line-oriented log filters (the OK/FAIL lines end
+           # up mid-"line"); this tool is for logs, not a terminal
+           .config("spark.ui.showConsoleProgress", "false")
+           .config("spark.ui.enabled", "false"))
+if DRIVER_MEM:
+    builder = builder.config("spark.driver.memory", DRIVER_MEM)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
@@ -77,21 +95,24 @@ for name, fn in sorted(qs.items()):
     try:
         sdf = fn(spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
         if name in oracles:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            t_oracle = time.time() - t0 - t_spark
             ok_cols = sorted(sdf.columns) == sorted(dcols)
             order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
             dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
             cs = sorted(tuple(canon(r[i]) for i in order) for r in srows)
             cd = sorted(tuple(canon(r[i]) for i in dorder) for r in drows)
             ok = ok_cols and cs == cd
-            print(f"{'OK  ' if ok else 'FAIL'} {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: {len(srows)} rows "
+                  f"(spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)", flush=True)
             if not ok: fails.append(name)
         else:
-            print(f"OK~ {name}: {len(srows)} rows rows-only ({time.time()-t0:.1f}s)")
+            print(f"OK~ {name}: {len(srows)} rows rows-only (spark {t_spark:.1f}s)", flush=True)
     except Exception as e:
-        print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}")
+        print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
         fails.append(name)
 print("RESULT:", "ALL GREEN" if not fails else f"FAILURES: {fails}")

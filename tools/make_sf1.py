@@ -22,8 +22,10 @@ key-modulus idioms used by the declared queries keep their structure:
   are near- but not exact-duplicates (exact 10-way duplicate groups would
   degenerate every dedup bucket); n_chars is recomputed to keep the
   n_chars == LENGTH(text) invariant.
-- embeddings: vec_id += 2000*i; tiles i>0 add i*1e-3 to component 0 so no
-  cross-tile vector is bit-identical (PINNED_VEC_IDS live in tile 0 and
+- embeddings: vec_id += 2000*i; tiles i>0 are FRESH deterministic
+  hash-based pseudo-random vectors (see tile_sql for why perturbed copies
+  are wrong: the planted-neighbor oracles' stated corpus premise is that
+  no NATURAL pair approaches cosine 1; PINNED_VEC_IDS live in tile 0 and
   keep their exact sf0.1 values).
 - events: event_id += 100000*i, user_id += 1500*i (per-user session/window
   state stays tile-local — 10x more users, not 10x-longer user histories,
@@ -98,13 +100,27 @@ def tile_sql(table: str, i: int) -> str:
             f"lang, source, CAST(LENGTH({text}) AS BIGINT) AS n_chars FROM {src}"
         )
     if table == "embeddings":
+        # Tiles i>0 get FRESH deterministic hash-based pseudo-random vectors
+        # (components uniform in [-0.5, 0.5]), NOT perturbed copies. The
+        # first tiling added i*1e-3 to one component; the resulting
+        # cos(original, tile) ~= 1 - 5e-9 violated the corpus premise every
+        # planted-neighbor oracle states explicitly (q49/q56: "max natural
+        # cosine ~0.60 << 1.0"; q99: "no natural pair reaches the 0.95
+        # threshold") — at 4-dp cosine quantization the tile copy TIED the
+        # planted duplicate and won the id tie-break, and q99 correctly
+        # semantic-deduped the tiles, so both queries diverged from oracles
+        # whose premises no longer held. Independent uniform vectors at
+        # dim 64 concentrate pairwise cosine at 0 +- 1/8; the max over
+        # ~2e8 pairs stays ~0.75, preserving the premise by construction.
+        # (Determinism is per-DuckDB-version: hash() is stable within the
+        # pinned 1.0.0, which is all the gitignored .sf1 needs.)
         emb = (
             "embedding"
             if i == 0
             else (
-                "list_transform(embedding, "
-                f"(x, j) -> CASE WHEN j = 1 THEN CAST(x + {i} * 0.001 AS FLOAT) "
-                "ELSE x END)"
+                "list_transform(range(1, len(embedding) + 1), "
+                f"j -> CAST(hash(concat('sf1emb:', {i}, ':', vec_id, ':', j)) "
+                "% 1000001 AS DOUBLE) / 1000000.0 - 0.5)"
             )
         )
         return (
