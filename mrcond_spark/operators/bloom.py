@@ -92,12 +92,30 @@ def might_contain(words: list[int], key: Column, num_bits: int, num_hashes: int)
     return reduce(lambda a, b: a & b, probes)
 
 
+#: auto-sizing bounds: floor keeps tiny dims at the historical 8 KiB
+#: filter; the cap bounds the per-task plan literal at 2 MiB — past ~1M
+#: qualifying keys a saturating Bloom prunes little and a broadcast/semi
+#: join strategy should win anyway.
+_AUTO_MIN_BITS = 1 << 16
+_AUTO_MAX_BITS = 1 << 24
+_AUTO_BITS_PER_KEY = 10  # fpp ~1% at k=5
+
+
+def auto_num_bits(n_keys: int) -> int:
+    """Power-of-two filter size for ``n_keys`` at ~10 bits/key, clamped to
+    [2^16, 2^24] (see the constants above)."""
+    bits = _AUTO_MIN_BITS
+    while bits < _AUTO_MAX_BITS and bits < n_keys * _AUTO_BITS_PER_KEY:
+        bits <<= 1
+    return bits
+
+
 def bloom_prejoin(
     fact: DataFrame,
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
     num_hashes: int = 5,
 ) -> DataFrame:
     """Exact inner equi-join of ``fact`` with ``dim``, with the fact side
@@ -107,7 +125,17 @@ def bloom_prejoin(
     the Bloom only drops fact rows that cannot match (false positives pass
     the filter and are removed by the join). Eager: the dim-side build job
     runs here (see module docstring for the snapshot contract).
+
+    ``num_bits=None`` (default) sizes the filter from the dim count at
+    ~10 bits/key (one extra bounded count job before the build): the
+    round-10 sf1 sweep showed the old fixed 2^16-bit default SATURATING at
+    a 10x dim — 30k keys x 5 hashes filled 66% of the bits and pruning
+    fell from ~80% of fact rows to ~34% — and a filter whose size ignores
+    the dim cannot hold its pruning rate at 100 TB. Power-of-two sized in
+    [2^16, 2^24]; pass an explicit ``num_bits`` to pin the old behavior.
     """
+    if num_bits is None:
+        num_bits = auto_num_bits(dim.count())
     words = build_bloom_words(dim, dim_key, num_bits, num_hashes)
     pruned = fact.filter(might_contain(words, F.col(fact_key), num_bits, num_hashes))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])

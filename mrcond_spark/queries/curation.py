@@ -185,7 +185,14 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E5", "B31"),
 )
 def q118(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    from ..operators import ensure_parallelism
+
+    # md5-per-token over the exploded corpus is a heavy per-row stage that
+    # must not inherit a single-split local scan (the round-10 sf1 sweep
+    # measured 117.5 s with the whole tokenize+hash stage serialized on
+    # one core by a one-file 6 MB scan vs 16.2 s widened, JVM startup
+    # included; no-op on real multi-split tables).
+    d = ensure_parallelism(load(spark, sf, "documents"))
     toks = d.select(
         "doc_id", "lang", F.explode(F.split(F.trim("text"), text.WS_CLASS + "+")).alias("tok")
     )

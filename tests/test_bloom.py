@@ -59,3 +59,30 @@ def test_prejoin_equals_plain_join(spark):
 def test_rejects_unaligned_bits():
     with pytest.raises(ValueError):
         build_bloom_words(None, "k", num_bits=100, num_hashes=3)
+
+
+def test_auto_sizing_tracks_dim_count(spark):
+    """num_bits=None sizes the filter from the dim count (~10 bits/key,
+    power of two, floored at 2^16): the round-10 sf1 sweep showed the old
+    fixed 2^16 default saturating at a 30k-key dim. The auto-sized
+    prejoin must stay row-identical to the plain join (sizing is a perf
+    knob, never a correctness one)."""
+    from mrcond_spark.operators import bloom
+
+    fact = spark.range(0, 5_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 13).alias("payload")
+    )
+    dim = spark.range(0, 2_000).select(
+        (F.col("id") * 2).alias("dk"), F.lit("d").alias("tag")
+    )
+    got = sorted(
+        tuple(r) for r in bloom.bloom_prejoin(fact, dim, "fk", "dk").collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, fact.fk == dim.dk).collect())
+    assert got == want
+    # the sizing rule itself: floor for small dims (2,000 keys * 10 bpk
+    # = 20,000 < 2^16), doubling past it (30,000 keys -> 2^19 = 524,288
+    # >= 300,000), hard cap for dims that should broadcast instead
+    assert bloom.auto_num_bits(2_000) == 1 << 16
+    assert bloom.auto_num_bits(30_000) == 1 << 19
+    assert bloom.auto_num_bits(10**9) == bloom._AUTO_MAX_BITS
