@@ -23,8 +23,12 @@ bytes, never correctness.
 
 EAGER + SNAPSHOT CONTRACT (same as `prefix_sum.bucketed_running_sum`): the
 Bloom build job runs at construction time — the bit array must become a
-plan literal. The collect is bounded metadata: ``num_bits / 64`` longs
-(default 1024 = 8 KiB), never data-sized.
+plan literal. The collects are bounded metadata, never data-sized: the
+auto-sizing default first runs ONE bounded `approx_count_distinct(dim_key)`
+job, then the build job collects ``num_bits / 64`` longs, where
+``num_bits`` is sized at ~10 bits/distinct-key in [2^16, 2^24] — i.e. a
+plan literal of 1,024 longs (8 KiB) up to 262,144 longs (~2 MiB) at the
+2^24 ceiling. Pass an explicit ``num_bits`` to skip the sizing job.
 
 Reference parity note: f-squirrel/mrcond has no batch/join surface
 (SURVEY §1) — this belongs to the mandated Spark-first extension tier.
@@ -126,16 +130,19 @@ def bloom_prejoin(
     the filter and are removed by the join). Eager: the dim-side build job
     runs here (see module docstring for the snapshot contract).
 
-    ``num_bits=None`` (default) sizes the filter from the dim count at
-    ~10 bits/key (one extra bounded count job before the build): the
-    round-10 sf1 sweep showed the old fixed 2^16-bit default SATURATING at
-    a 10x dim — 30k keys x 5 hashes filled 66% of the bits and pruning
-    fell from ~80% of fact rows to ~34% — and a filter whose size ignores
-    the dim cannot hold its pruning rate at 100 TB. Power-of-two sized in
+    ``num_bits=None`` (default) sizes the filter from the dim's DISTINCT
+    key count at ~10 bits/key (one extra bounded approx_count_distinct job
+    before the build — distinct, not row count, so a duplicate-keyed dim
+    doesn't oversize the plan literal for zero pruning gain): the round-10
+    sf1 sweep showed the old fixed 2^16-bit default SATURATING at a 10x
+    dim — 30k keys x 5 hashes filled 66% of the bits and pruning fell from
+    ~80% of fact rows to ~34% — and a filter whose size ignores the dim
+    cannot hold its pruning rate at 100 TB. Power-of-two sized in
     [2^16, 2^24]; pass an explicit ``num_bits`` to pin the old behavior.
     """
     if num_bits is None:
-        num_bits = auto_num_bits(dim.count())
+        n_keys = dim.agg(F.approx_count_distinct(dim_key).alias("n")).first()["n"]
+        num_bits = auto_num_bits(n_keys)
     words = build_bloom_words(dim, dim_key, num_bits, num_hashes)
     pruned = fact.filter(might_contain(words, F.col(fact_key), num_bits, num_hashes))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])

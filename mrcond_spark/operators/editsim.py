@@ -74,6 +74,27 @@ def _short_value_pairs(short_rows: DataFrame, k: int) -> DataFrame:
     ).select(F.col("va.s").alias("v_a"), F.col("vb.s").alias("v_b"))
 
 
+def _value_universe(rows: DataFrame) -> DataFrame:
+    """Collapse ``(id, s)`` rows to the distinct VALUE universe
+    ``(s, cnt, vid, len)`` with an explicit keyed repartition.
+
+    The repartition is load-bearing (commit 028c46f / PERF.md sf1 finding):
+    the groupBy's exchange is small enough at bench scale that AQE coalesces
+    it to ONE partition, the downstream localCheckpoint FREEZES that layout,
+    and the entire candidate pipeline (tagging, gram explode, prefix
+    self-join) then runs single-threaded — measured 22 s for q180 at sf0.1
+    vs ~4 s pinned. User ``repartition(n, cols)`` calls are exempt from AQE
+    coalescing, which is exactly why this is a repartition and not a
+    shuffle-partition hint; tests/test_plans.py pins the materialized
+    layout so it cannot silently regress to one partition."""
+    return (
+        rows.groupBy("s")
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("vid"))
+        .withColumn("len", F.length("s"))
+        .repartition(rows.sparkSession.sparkContext.defaultParallelism, "s")
+    )
+
+
 def edit_distance_join(
     strs: DataFrame,
     id_col: str = "id",
@@ -130,13 +151,7 @@ def edit_distance_join(
     # the prefix filter and 4.4k values still yield 2.4M candidate pairs:
     # shuffling string pairs and distinct-ing on them cost ~3x the
     # long-pair form).
-    vals = materialize_once(
-        rows.groupBy("s")
-        .agg(F.count("*").alias("cnt"), F.min("id").alias("vid"))
-        .withColumn("len", F.length("s"))
-        .repartition(strs.sparkSession.sparkContext.defaultParallelism, "s"),
-        eager=False,
-    )
+    vals = materialize_once(_value_universe(rows), eager=False)
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
 
     # --- prefix-filter leg (every value with at least one gram) ----------
@@ -205,13 +220,19 @@ def edit_distance_join(
     # by STRING (and includes the diagonal); map to vids through the
     # bounded short slice and normalize to vid order so the distinct()
     # union can dedup against the other legs.
+    # No broadcast hint on sa/sb: the |alphabet|^(q*k+q-1) bound that makes
+    # this leg tractable can still be tens of millions of DISTINCT short
+    # values on a unicode corpus, and a forced broadcast would OOM the
+    # driver where a shuffle join merely re-expands (round-10 advice).
+    # AQE sees the slice's true size at runtime and converts to a broadcast
+    # join itself whenever the slice is actually small — the common case.
     short_slice = vals.filter(F.col("len") <= short_max)
     sa = short_slice.select(F.col("s").alias("v_a"), F.col("vid").alias("sa_vid"))
     sb = short_slice.select(F.col("s").alias("v_b"), F.col("vid").alias("sb_vid"))
     short_pairs = (
         _short_value_pairs(short_slice, k)
-        .join(F.broadcast(sa), "v_a")
-        .join(F.broadcast(sb), "v_b")
+        .join(sa, "v_a")
+        .join(sb, "v_b")
         .select(
             F.least("sa_vid", "sb_vid").alias("vid_a"),
             F.greatest("sa_vid", "sb_vid").alias("vid_b"),

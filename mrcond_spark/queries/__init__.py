@@ -90,9 +90,24 @@ def register(
 #: from round 11 on, the ~17 rotation slots cycle the OLDEST driver
 #: verdicts back through the window (oldest round first, ties by query
 #: number) so no green row's verdict is ever more than ~5 rounds older
-#: than the code it attests. First re-attestation window (round 11):
-#: the r1–r3 rows q07 q12 q14 q20 q22 q24 q25 q42 q44 q45 q46 q51 q52
-#: q53 plus the oldest r4 rows.
+#: than the code it attests.
+#: Round 11 window (17 slots): LEADS with the round-10 judge's three
+#: STALE verdicts — q180 (editsim value-keyed rewrite, attested r7),
+#: q119 (Bloom auto-sizing, attested r6), q118 (ensure_parallelism
+#: guard, attested r6) — plus q149_hll_rollup's FIRST-EVER driver row
+#: (rows-only by design, like q32/q33). The remaining 13 slots apply
+#: the standing policy STRICTLY oldest-first from the actual ledger:
+#: the eleven r1 rows (q14 q58 q67 q68 q69 q70 q72 q73 q76 q78 q79),
+#: the one r2 row (q20), then r3 ties by number (q07). NOTE: the
+#: round-10 judge's named list (q07 q12 q14 q20 q22 q24 q25 q42
+#: q44–q46 q51–q53) skipped the true-r1 rows q58/q67–q79; the ledger
+#: scan (tools/attestation_ages.py) is authoritative — the judge's
+#: r3/r4 names not fitting this window (q12 q22 q24 q25 q42 q44–q46
+#: q51–q53) are QUEUED FIRST for round 12.
+#: Fixed-block change: q23_math_funcs STEPS BACK IN (B24). It was
+#: swapped out r10 only because that window carried six B24 reps;
+#: the round-11 incoming set carries zero, and the window-coverage
+#: test requires a B24 rep. B16 is covered by incoming q68 (r1).
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -127,8 +142,8 @@ PRIORITY: tuple[str, ...] = (
     "q91_curation_pipeline",  # E1+E5+E7+B31 end-to-end composition
     "q27_distinct",           # B21 (sole B21 rep — stays; see ROTATION note)
     "q21_string_funcs",       # B22
-    # q23_math_funcs (B24) swapped out r10 — green r9; the incoming pool
-    # carries six B24 reps (q121 q142 q158 q160 q161 q168)
+    "q23_math_funcs",         # B24 (back in r11 — the r10 swap-out relied
+                              # on six incoming B24 reps; r11 brings zero)
     "q26_json_funcs",         # B27
     "q29_subquery",           # B28
     "q30_cte",                # B29
@@ -144,27 +159,26 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-10 rotation slots (round-9 judge priority list, verbatim:
-    # the ENTIRE remaining unattested pool — debt goes to zero with this
-    # window; see ROTATION note above for the operator-coverage audit)
-    "q121_zipf_slope",        # B15/B24/E5 Zipf rank-frequency slope
-    "q122_quality_calibration",  # B15/E5 quality-score decile calibration
-    "q124_adaptive_quality_gate",  # B11/B31/E5 quantile-threshold gate
-    "q126_linear_interpolation",  # B16/B23 gap-fill linear interpolation
-    "q130_rrf_fusion",        # B15/B18/E5 reciprocal-rank fusion
-    "q136_integrity_audit",   # B11/B23/B5 referential-integrity audit
-    "q137_conversion_lag",    # B11/B16/B23 view→buy conversion lag
-    "q138_skyline_frontier",  # B11/B16 2-D skyline (Pareto frontier)
-    "q139_edit_blocking_pairs",  # B22/E2 length+prefix edit-distance blocking
-    "q142_char_entropy",      # B22/B24/E5 per-doc character entropy
-    "q155_majority_vote",     # B11/B15/B25 inter-annotator majority vote
-    "q156_bpe_pair_stats",    # B18/B26/E5 BPE-style pair statistics
-    "q158_source_epochs",     # B11/B24/E5 per-source epoch weighting
-    "q160_chi_square",        # B11/B24/E5 chi-square independence test
-    "q161_benford_audit",     # B11/B22/B24 Benford first-digit audit
-    "q162_duplication_profile",  # B11/E1 corpus duplication profile
-    "q168_group_ols",         # B11/B24/B4 per-group OLS regression
-    "q169_stratified_budget_sample",  # B15/B31/E5 stratified budget sample
+    # round-11 rotation slots (see ROTATION note above): three stale
+    # re-attestations lead, q149's first driver row, then the thirteen
+    # oldest ledger rows strictly oldest-first
+    "q180_edit_distance_join",  # E2/B22/B26 STALE r7 — value-keyed rewrite
+    "q119_bloom_prejoin",     # B3/B4 STALE r6 — auto-sized Bloom
+    "q118_importance_weights",  # E5/B31 STALE r6 — ensure_parallelism guard
+    "q149_hll_rollup",        # B30/B11 first-ever driver row (rows-only)
+    "q14_grouping_sets",      # B13 r1
+    "q58_range_join",         # B9 r1
+    "q67_percentiles",        # B11 r1
+    "q68_latest_per_key",     # B15/B16 r1
+    "q69_map_funcs",          # B26/B27 r1
+    "q70_fuzzy_match",        # B22 r1
+    "q72_filtered_agg",       # B11/B25 r1
+    "q73_string_agg",         # B11/B22 r1
+    "q76_gap_fill",           # B23/B26 r1
+    "q78_distribution_windows",  # B15 r1
+    "q79_multiset_ops",       # B20 r1
+    "q20_except",             # B20 r2
+    "q07_full_outer",         # B5 r3 (first r3 tie by number)
 )
 
 

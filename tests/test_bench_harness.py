@@ -301,3 +301,88 @@ def test_guaranteed_retimes_respect_hard_ceiling(monkeypatch):
     # pass 1 always completes (the unavoidable floor); with the hard
     # ceiling already crossed, no guaranteed re-time runs
     assert all(q.calls == 1 for q in queries.values())
+
+
+def test_expected_pins_match_artifact_steady_state():
+    """Round-10 judge finding: q166 was pinned at 0.35 s while every
+    artifact ever measured it >=1.0 s, so it permanently tripped the
+    >2x-expected re-time path and burned the budget that exists to defeat
+    host storms. Guard: no pin may sit below 60% of the BEST-EVER artifact
+    row for that query (best-ever is the most charitable host; a pin the
+    best host can't reach is stale by construction, not optimistic)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best: dict[str, float] = {}
+    for f in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        qs = (json.load(open(f)).get("parsed") or {}).get("queries") or {}
+        for k, t in qs.items():
+            if isinstance(t, (int, float)) and (k not in best or t < best[k]):
+                best[k] = t
+    if not best:
+        return  # no artifacts on disk (fresh checkout)
+    expected = json.load(open(os.path.join(root, "bench_expected.json")))
+    stale = {
+        name: (pin, best[name.split("_", 1)[0].lstrip("q")])
+        for name, pin in expected.items()
+        if name.split("_", 1)[0].lstrip("q") in best
+        and pin < 0.6 * best[name.split("_", 1)[0].lstrip("q")]
+    }
+    assert not stale, (
+        f"stale bench_expected pins (pin < 60% of best-ever artifact): {stale} "
+        "— re-pin from artifact steady state (median of recent rounds)"
+    )
+
+
+def test_stream_defer_waits_out_storm(monkeypatch):
+    """Round-10 judge item 3 (the weak `win` grade: 0.61x the r8/r9 level
+    on unchanged code — attempts burned INTO a host storm). With load above
+    STREAM_LOAD_DEFER_THRESHOLD, attempts must DEFER (sleep from the shared
+    budget) until the load drops, then run; the recorded per-attempt load
+    is the post-defer one, so the artifact shows the attempt ran clean."""
+    loads = iter([2.0, 2.0, 0.4, 0.4])  # two storm polls, then clean
+    monkeypatch.setattr(bench, "_norm_load", lambda: next(loads, 0.4))
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    attempts_out, low_out, loads_out = {}, {}, {}
+    budget = [bench.STREAM_LOAD_DEFER_MAX_S]
+    best = bench.stream_best_of(
+        "win",
+        lambda: bench.STREAM_EXPECTED["win"],  # at-record figure: 1 attempt
+        1,
+        attempts_out,
+        low_out,
+        loads_out=loads_out,
+        defer_budget=budget,
+    )
+    assert best == bench.STREAM_EXPECTED["win"]
+    assert sleeps == [bench.STREAM_LOAD_DEFER_POLL_S] * 2
+    assert budget[0] == bench.STREAM_LOAD_DEFER_MAX_S - 2 * bench.STREAM_LOAD_DEFER_POLL_S
+    assert loads_out == {"win": [0.4]}  # post-defer load recorded
+    assert attempts_out == {"win": 1}
+    assert not low_out
+
+
+def test_stream_defer_budget_bounds_the_wait(monkeypatch):
+    """A storm that never ends must not outrun the driver window: once the
+    shared budget is gone the attempt proceeds INTO the storm (old
+    behavior), and the recorded load says why the figure is low."""
+    monkeypatch.setattr(bench, "_norm_load", lambda: 3.0)  # permanent storm
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    attempts_out, low_out, loads_out = {}, {}, {}
+    budget = [25.0]  # 2 full polls + one 5 s remainder
+    bench.stream_best_of(
+        "ses",
+        lambda: bench.STREAM_EXPECTED["ses"],
+        1,
+        attempts_out,
+        low_out,
+        loads_out=loads_out,
+        defer_budget=budget,
+    )
+    assert budget[0] == 0.0
+    assert sum(sleeps) == 25.0
+    assert loads_out == {"ses": [3.0]}  # attempted into the storm, recorded
+    assert attempts_out == {"ses": 1}

@@ -319,3 +319,35 @@ def test_tpch_q5_fact_side_never_broadcast(spark, sf_dir):
                 f"side: {cols}"
             )
         assert "BroadcastHashJoin" in text  # the dims do broadcast
+
+
+def test_q180_value_universe_keeps_keyed_repartition(spark, sf_dir):
+    """Round-10 pin (commit 028c46f / PERF.md sf1 finding): the edit-join
+    VALUE universe must keep its explicit keyed repartition. AQE coalesces
+    the small groupBy exchange to ONE partition at bench scale, the
+    downstream localCheckpoint FREEZES that layout, and the whole candidate
+    pipeline then runs single-threaded (22 s vs ~4 s for q180 at sf0.1).
+    Assert the MATERIALIZED layout — plan text can't see through the
+    checkpoint — on both fronts: the optimized plan carries the AQE-exempt
+    user repartition, and the checkpointed RDD actually has cluster-width
+    partitions, not AQE's coalesced one."""
+    from mrcond_spark.operators.editsim import _value_universe
+    from mrcond_spark.operators import materialize_once
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.coalesce("text", F.lit("")).alias("s")
+    )
+    vals = _value_universe(docs)
+    # the user repartition survives optimization (a numbered user
+    # RepartitionByExpression is AQE-coalesce-exempt; plain
+    # ENSURE_REQUIREMENTS exchanges are not)
+    optimized = plans.explain_str(vals, "extended")
+    assert "RepartitionByExpression" in optimized, (
+        "q180's value universe lost its explicit keyed repartition — AQE "
+        f"will coalesce the layout to 1 partition:\n{optimized[-2000:]}"
+    )
+    # and the frozen (checkpointed) layout is cluster-width
+    frozen = materialize_once(vals, eager=True)
+    n = frozen.rdd.getNumPartitions()
+    expect = spark.sparkContext.defaultParallelism
+    assert n == expect, f"value universe frozen at {n} partitions, want {expect}"

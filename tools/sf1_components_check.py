@@ -12,9 +12,12 @@ as q132's pre-materialization CTE blowup (PERF.md round-7/8 notes), not an
 engine property — so the sf1 sweep checks q170 against THIS independent
 reference instead: the exact same edge list built by DuckDB SQL (verbatim
 the declared oracle's `a`/`b`/`e` CTEs), resolved with a 30-line
-union-find in pure Python (path compression + union by size, nothing
-shared with the Spark pointer-jumping implementation), min-label per
-component to match `connected_components`' contract.
+union-find in pure Python (path compression + union toward the MIN label
+— the smaller root always becomes the parent, which is exactly what makes
+"root == min label of the component" hold without a second pass; worst-case
+tree depth therefore leans on path compression alone, fine at these sizes —
+nothing shared with the Spark pointer-jumping implementation), min-label
+per component to match `connected_components`' contract.
 
 Usage: python tools/sf1_components_check.py [--sf /root/repo/.sf1]
 Prints one OK/FAIL line in the sweep's format.
