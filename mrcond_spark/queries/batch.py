@@ -894,7 +894,9 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="point-in-interval range join via bucketized equi-join "
     "(operators/range_join.py): lineitem ship dates inside each order's "
-    "7-day window — the plan is a hash join on bucket ids, not a nested loop",
+    "7-day window — the plan is a hash join on bucket ids, not a nested loop, "
+    "with the count PRE-AGGREGATED below the join (45 distinct days, not "
+    "~1M rows, cross the range join)",
     tags=("B9",),
 )
 def q58(spark: SparkSession, sf: str) -> DataFrame:
@@ -913,6 +915,15 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("end_day", F.col("start_day") + 7)
     )
+    # Aggregation pushdown below the range join (round-11 sf1 finding): the
+    # final COUNT(*) only needs lineitems PER DAY, and the point side's join
+    # key has ~45 distinct values in the filtered window vs ~110k rows at
+    # sf1 (~1M at 100 TB scale-equivalents). Joining raw rows materialized
+    # ~470M (point, interval) pairs at sf1 — 28.7 s for 5 output rows;
+    # collapsing to (ship_day, day_cnt) first makes the join 45 x |orders|
+    # candidate pairs and the count a weighted sum: 28.7 -> ~2 s, identical
+    # result at any scale (COUNT over a join = SUM of point-side partial
+    # counts whenever the join condition depends only on the grouped key).
     l = (
         load(spark, sf, "lineitem")
         .filter(
@@ -920,6 +931,8 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1995-02-15").cast("date"))
         )
         .select(F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_day"))
+        .groupBy("ship_day")
+        .agg(F.count("*").alias("day_cnt"))
     )
     joined = range_join(
         l, o, point_col="ship_day", start_col="start_day", end_col="end_day",
@@ -927,7 +940,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("day_cnt").alias("cnt"))
         .orderBy("o_orderpriority")
     )
 
