@@ -351,3 +351,19 @@ def test_q180_value_universe_keeps_keyed_repartition(spark, sf_dir):
     n = frozen.rdd.getNumPartitions()
     expect = spark.sparkContext.defaultParallelism
     assert n == expect, f"value universe frozen at {n} partitions, want {expect}"
+
+
+def test_q139_candidate_join_keeps_keyed_repartition(spark, sf_dir):
+    """Round-11 sf1 finding (the q180 hazard in a second site): q139's
+    within-block self-join stage is AQE-coalesced by BYTES (~60 MB of
+    candidate heads -> 2 partitions) while its true cost is the per-row
+    levenshtein — the verify leg ran near-serial at sf1 (21 s on 2 cores).
+    The fix is a keyed user repartition both join inputs derive from; this
+    pins it in the optimized plan so the layout cannot silently coalesce
+    back."""
+    df = QUERIES["q139_edit_blocking_pairs"].spark(spark, sf_dir)
+    optimized = plans.explain_str(df, "extended")
+    assert "RepartitionByExpression" in optimized, (
+        "q139 lost its keyed candidate repartition — AQE will run the "
+        "levenshtein verify leg on a bytes-coalesced (near-serial) stage"
+    )
