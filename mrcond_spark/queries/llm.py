@@ -1106,9 +1106,15 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E2", "E5"),
 )
 def q88(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import materialize_once
+    from ..operators import ensure_parallelism, materialize_once
 
-    d = load(spark, sf, "documents")
+    # ensure_parallelism: the q118 single-split hazard at a second site
+    # (round-11 sf1 sweep finding) — the tiled documents parquet reads as 2
+    # splits, so the Arrow shingle UDF + 2.7M-row gram explode ran on 2
+    # cores AND the checkpoint froze that layout for both downstream
+    # branches: 28.1 s at sf1. At real scale inputs have many splits and
+    # the guard is a no-op.
+    d = ensure_parallelism(load(spark, sf, "documents"))
     # the bench and corpus branches both consume the shingle projection —
     # unmaterialized, the full-corpus Arrow shingle UDF (the plan's most
     # expensive stage) would run once PER BRANCH (ngram_novelty's measured

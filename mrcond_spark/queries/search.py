@@ -108,6 +108,13 @@ BM25_TOPK = 20
 def q123(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import materialize_once
 
+    # NO ensure_parallelism here (round-11 measured): widening the scan to
+    # 32 partitions before the eager shingle checkpoint regressed q123's
+    # sf1 spark wall from ~44 s to 310.6 s (and q144's 85 -> 177 s) — the
+    # setsim pipeline's own shuffles set downstream width, and the fat
+    # checkpointed arrays appear to run better as few large tasks. The
+    # guard pays only where the UDF stage itself dominates AND downstream
+    # work re-shuffles thin rows (q88/q118) — measure before applying.
     d = load(spark, sf, "documents")
     # The shingle arrays feed FOUR plan branches (frequency count, ordered
     # assembly, and both verify sides); one evaluation + stored blocks beats
@@ -428,6 +435,7 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import materialize_once
     from ..operators.setsim import prefix_containment_join
 
+    # no ensure_parallelism — same measured regression as q123 (85 -> 177 s)
     d = load(spark, sf, "documents")
     # same four-consumer shingle reuse rationale as q123
     sets = materialize_once(
