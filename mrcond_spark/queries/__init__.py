@@ -96,14 +96,25 @@ def register(
 #: q119 (Bloom auto-sizing, attested r6), q118 (ensure_parallelism
 #: guard, attested r6) — plus q149_hll_rollup's FIRST-EVER driver row
 #: (rows-only by design, like q32/q33). The remaining 13 slots apply
-#: the standing policy STRICTLY oldest-first from the actual ledger:
-#: the eleven r1 rows (q14 q58 q67 q68 q69 q70 q72 q73 q76 q78 q79),
-#: the one r2 row (q20), then r3 ties by number (q07). NOTE: the
-#: round-10 judge's named list (q07 q12 q14 q20 q22 q24 q25 q42
-#: q44–q46 q51–q53) skipped the true-r1 rows q58/q67–q79; the ledger
-#: scan (tools/attestation_ages.py) is authoritative — the judge's
-#: r3/r4 names not fitting this window (q12 q22 q24 q25 q42 q44–q46
-#: q51–q53) are QUEUED FIRST for round 12.
+#: the standing policy with ONE override class ranked above mere age:
+#: STALE-PREVENTION. Three queries' engine code changed IN round 11
+#: after their last attestation — q139 (keyed verify-leg repartition,
+#: dedecef; attested r10), q88 (ensure_parallelism on the shingle
+#: scan, f05e8a0; attested r4-era), q108 (materialized single
+#: tokenize pass, 28a2f54; attested r9) — exactly the stale-verdict
+#: class the round-10 judge led its directives with. They take the
+#: three YOUNGEST slots of the oldest-first list (q07 r3, q20 r2,
+#: q79 r1 — the last r1 by number), which re-queue for round 12.
+#: The ten remaining slots run the ledger strictly oldest-first:
+#: the r1 rows q14 q58 q67 q68 q69 q70 q72 q73 q76 q78 (q58's code
+#: ALSO changed this round — f3d5730 aggregation pushdown — so its
+#: slot does double duty). NOTE: the round-10 judge's named list
+#: (q07 q12 q14 q20 q22 q24 q25 q42 q44–q46 q51–q53) skipped the
+#: true-r1 rows q58/q67–q79; the ledger scan
+#: (tools/attestation_ages.py) is authoritative — the judge's r3/r4
+#: names not fitting this window (q07 q12 q20 q22 q24 q25 q42
+#: q44–q46 q51–q53, plus displaced q79) are QUEUED FIRST for
+#: round 12.
 #: Fixed-block change: q23_math_funcs STEPS BACK IN (B24). It was
 #: swapped out r10 only because that window carried six B24 reps;
 #: the round-11 incoming set carries zero, and the window-coverage
@@ -176,9 +187,12 @@ PRIORITY: tuple[str, ...] = (
     "q73_string_agg",         # B11/B22 r1
     "q76_gap_fill",           # B23/B26 r1
     "q78_distribution_windows",  # B15 r1
-    "q79_multiset_ops",       # B20 r1
-    "q20_except",             # B20 r2
-    "q07_full_outer",         # B5 r3 (first r3 tie by number)
+    "q139_edit_blocking_pairs",  # E2/B22 STALE-PREVENTION — keyed verify-leg
+                              # repartition landed r11 (dedecef) after its r10 verdict
+    "q88_decontamination",    # E2/E5 STALE-PREVENTION — ensure_parallelism scan
+                              # guard landed r11 (f05e8a0) after its verdict
+    "q108_pmi_collocations",  # E5/B18 STALE-PREVENTION — single materialized
+                              # tokenize pass landed r11 (28a2f54) after its r9 verdict
 )
 
 
