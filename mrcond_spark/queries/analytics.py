@@ -853,7 +853,10 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     "exact integer micros and the value arithmetic is a fixed double "
     "expression tree — identical in both engines, rounded at 6 dp for "
     "display. Rows before the first / after the last anchor (or in a "
-    "zero-width gap) are excluded, not guessed",
+    "zero-width gap) are excluded, not guessed. The following-anchor pair "
+    "is computed via the DESC-ordered running-last trick, NOT an "
+    "unbounded-FOLLOWING frame (O(n^2) per partition in Spark — a hot-key "
+    "straggler; see the in-code note and PERF.md skew sweep)",
     tags=("B16", "B23"),
 )
 def q126(spark: SparkSession, sf: str) -> DataFrame:
@@ -873,10 +876,21 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # The following-anchor leg deliberately avoids a (1, unboundedFollowing)
+    # frame: Spark's UnboundedFollowing window frame re-aggregates the whole
+    # remaining partition for EVERY row — O(n^2) per key partition. Uniform
+    # keys (~70 events/user) hide it; one hot user owning 30% of the stream
+    # turns the query into a single-core multi-hour straggler (measured on
+    # the .skew corpus: 300k-row hot partition, killed at 12+ min vs 1-2 s
+    # for every neighbor query). The reverse-scan trick below is the O(n)
+    # equivalent: in (us, event_id) DESCENDING order, the nearest FOLLOWING
+    # anchor becomes the running last-non-null over an unboundedPreceding
+    # frame, which Spark evaluates incrementally. Same single user_id
+    # shuffle; one extra in-partition sort.
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     a_us = F.when(F.col("anchor"), F.col("us"))
     a_val = F.when(F.col("anchor"), F.col("value"))
@@ -887,8 +901,8 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         "anchor",
         F.last(a_us, ignorenulls=True).over(wp).alias("prev_us"),
         F.last(a_val, ignorenulls=True).over(wp).alias("prev_val"),
-        F.first(a_us, ignorenulls=True).over(wn).alias("next_us"),
-        F.first(a_val, ignorenulls=True).over(wn).alias("next_val"),
+        F.last(a_us, ignorenulls=True).over(wn).alias("next_us"),
+        F.last(a_val, ignorenulls=True).over(wn).alias("next_val"),
     )
     return (
         nb.filter(

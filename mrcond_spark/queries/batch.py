@@ -2037,8 +2037,8 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     "q146_tpch_q5",
     oracle="""
     SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(38,18))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,18))), 2) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -2097,9 +2097,14 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(rev.cast("decimal(38,18)")).cast("double"), 2
-            ).alias("revenue")
+            # round the EXACT decimal sum first, cast to double after: both
+            # engines round decimals half-away-from-zero, but rounding after
+            # the double cast diverges when a sum lands within ~1 ulp of a
+            # .xx5 boundary (the .skew sweep's hot supplier produced exactly
+            # that — a 1-cent hash mismatch; PERF.md skew sweep, finding 2)
+            F.round(F.sum(rev.cast("decimal(38,18)")), 2)
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -2117,8 +2122,8 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT user_id, event_id, ts_us,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) OVER w AS DOUBLE),
-                 4) AS sum_7d
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,18))) OVER w,
+                 4) AS DOUBLE) AS sum_7d
     FROM e
     WINDOW w AS (
         PARTITION BY user_id ORDER BY ts_us
@@ -2132,32 +2137,96 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     "bound is 604,800,000,000 integer MICROSECONDS over epoch-micros, not "
     "an INTERVAL literal: identical integer range arithmetic in both "
     "engines, no calendar/interval-type semantics to diverge, and ties on "
-    "ts land in the same frame deterministically. The windowed double sum "
-    "runs through DECIMAL(38,18) (frame sums accumulate in within-"
-    "partition order — exact decimal addition is order-independent). "
-    "100 TB: one hash shuffle on user_id; frames never cross users, so "
-    "the window parallelizes per key — no single-reducer shape",
+    "ts land in the same frame deterministically. The SEMANTICS are the "
+    "oracle's RANGE frame; the Spark side deliberately does NOT execute "
+    "one: Spark's SlidingWindowFunctionFrame re-aggregates the whole "
+    "buffer on every bound move — O(n·w) per key partition, which the "
+    ".skew sweep measured as an hours-long single-core straggler on a "
+    "hot user owning 30% of the stream (300k rows x ~70k-row frames; "
+    "PERF.md skew sweep finding 3). Executed instead as two INCREMENTAL "
+    "unbounded-preceding running aggregates (exact decimal cumsum + "
+    "count) aligned at ts - 7d - 1us by the tie-safe union+window as-of "
+    "trick (builds sort before probes on equal ts, RANGE cumsum gives "
+    "tied rows one value): trailing = running - running_before_window. "
+    "All passes are linear in partition size. 100 TB: two hash shuffles "
+    "on user_id plus one event_id join — every stage parallelizes, hot "
+    "keys cost O(n) not O(n^2)",
     tags=("B16", "B23"),
 )
 def q147(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    w = (
+    # pass 1: exact running aggregates. RANGE (not ROWS) unbounded frame so
+    # every row tied on ts_us carries the same cumulative value — that is
+    # what makes the as-of subtraction below tie-deterministic.
+    wcum = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")
-        .rangeBetween(-604_800_000_000, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum(F.col("value").cast("decimal(38,18)")).over(wcum).alias("cum_sum"),
+        F.count("*").over(wcum).alias("cum_n"),
+    )
+    # pass 2: align each event against the running totals JUST BEFORE its
+    # frame start. Frame = [ts - 7d, ts] inclusive, so the subtracted
+    # prefix is everything with ts <= ts - 7d - 1us (integer micros).
+    builds = base.select(
+        "user_id",
+        F.col("ts_us").alias("pts"),
+        F.lit(0).alias("flag"),
+        "cum_sum",
+        "cum_n",
+        F.lit(None).cast("bigint").alias("probe_id"),
+    )
+    probes = base.select(
+        "user_id",
+        (F.col("ts_us") - F.lit(604_800_000_001)).alias("pts"),
+        F.lit(1).alias("flag"),
+        F.lit(None).cast("decimal(38,18)").alias("cum_sum"),
+        F.lit(None).cast("bigint").alias("cum_n"),
+        F.col("event_id").alias("probe_id"),
+    )
+    wal = (
+        Window.partitionBy("user_id")
+        .orderBy("pts", "flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (
+        builds.unionByName(probes)
+        .select(
+            "probe_id",
+            "flag",
+            F.last("cum_sum", ignorenulls=True).over(wal).alias("before_sum"),
+            F.last("cum_n", ignorenulls=True).over(wal).alias("before_n"),
+        )
+        .filter(F.col("flag") == 1)
+        .select("probe_id", "before_sum", "before_n")
     )
     return (
-        ev.select(
+        base.join(before, base["event_id"] == before["probe_id"])
+        .select(
             "user_id",
             "event_id",
             "ts_us",
-            F.count("*").over(w).cast("bigint").alias("n_7d"),
+            (F.col("cum_n") - F.coalesce(F.col("before_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_7d"),
+            # decimal-exact round BEFORE the double cast (same 1-ulp
+            # boundary hazard as q146 — see PERF.md skew sweep finding 2)
             F.round(
-                F.sum(F.col("value").cast("decimal(38,18)")).over(w).cast("double"),
+                F.col("cum_sum")
+                - F.coalesce(
+                    F.col("before_sum"), F.lit(0).cast("decimal(38,18)")
+                ),
                 4,
-            ).alias("sum_7d"),
+            )
+            .cast("double")
+            .alias("sum_7d"),
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
