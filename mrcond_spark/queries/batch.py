@@ -2356,17 +2356,17 @@ _ISLAND_WIDTH_US = 300_000_000
     "q150_interval_coverage",
     oracle=f"""
     WITH iv AS (
-        SELECT user_id, epoch_us(ts) AS s,
+        SELECT user_id, event_id, epoch_us(ts) AS s,
                epoch_us(ts) + {_ISLAND_WIDTH_US} AS e
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN s > MAX(e) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     OR MAX(e) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
                     THEN 1 ELSE 0 END AS new_island
         FROM iv
@@ -2374,7 +2374,7 @@ _ISLAND_WIDTH_US = 300_000_000
     islands AS (
         SELECT user_id, s, e,
                SUM(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS UNBOUNDED PRECEDING) AS island_id
         FROM flagged
     ),
@@ -2407,14 +2407,23 @@ _ISLAND_WIDTH_US = 300_000_000
 )
 def q150(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
+    # event_id (unique) is the window tiebreak, NOT e: both windows order by
+    # (s, e) was ambiguous once rows tie on ts — after pass 1 the tied rows
+    # differ in new_island, so pass 2's re-sort could land the flag-carrier
+    # mid-group and attach tied intervals to the PREVIOUS island. Each
+    # engine resolved the tie differently (same island count, different
+    # covered_us on the .skew hot user — PERF.md skew sweep finding 4).
+    # A total (s, event_id) order is deterministic in both engines and lets
+    # the two window passes share one in-partition sort.
     iv = ev.select(
         "user_id",
+        "event_id",
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + _ISLAND_WIDTH_US).alias("e"),
     )
     w_prev = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_max_e = F.max("e").over(w_prev)
@@ -2424,7 +2433,7 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))

@@ -231,6 +231,99 @@ def test_unpartitioned_window_guard_catches_constant_fold(spark):
     assert not _unpartitioned_window_lines(plan(keyed))
 
 
+#: sliding RANGE frames whose buffer is TIME-bounded, so the per-move
+#: re-aggregation stays cheap even on a hot key (q71's 1-hour frame held
+#: ~420-row buffers on the .skew hot user — 11.4 s measured). q147's 7-day
+#: frame was NOT bounded this way (frame population grows with key hotness)
+#: and was decomposed into running aggregates — PERF.md skew sweep finding 3.
+_SLIDING_RANGE_OK = {"q71_range_frame"}
+
+
+def _quadratic_frame_lines(text: str) -> list[tuple[str, str]]:
+    """(kind, frame-text) for window frames Spark cannot evaluate
+    incrementally: ``following`` = any frame reaching unboundedfollowing
+    from a moving lower bound (whole remaining partition re-aggregated per
+    row — O(n^2) per key); ``sliding-range`` = a RangeFrame with a bounded
+    lower bound (buffer re-aggregated on every bound move — O(n*w))."""
+    import re
+
+    offenders = []
+    for m in re.finditer(
+        r"specifiedwindowframe\((\w+),\s*([^,]+?),\s*([^)]+?\)?)\)", text
+    ):
+        ftype, lo, hi = m.group(1), m.group(2).strip(), m.group(3).strip()
+        if "unboundedfollowing" in hi and "unboundedpreceding" not in lo:
+            offenders.append(("following", m.group(0)[:90]))
+        elif (
+            ftype == "RangeFrame"
+            and "unboundedpreceding" not in lo
+            and "currentrow" not in lo
+        ):
+            offenders.append(("sliding-range", m.group(0)[:90]))
+    return offenders
+
+
+def test_no_quadratic_window_frames_anywhere(spark, sf_dir):
+    """Two window-frame shapes are non-incremental in Spark and turn hot
+    keys into stragglers (found by the .skew sweep, PERF.md round 11 —
+    both invisible on uniform keys, hours on a key owning 30% of the
+    data): a frame reaching unboundedFollowing from a moving bound
+    re-aggregates the whole remaining partition per row (q126, O(n^2)),
+    and a sliding RANGE frame re-aggregates its buffer on every bound
+    move (q147, O(n*w) with w growing with key hotness). Neither may
+    appear in any declared query's executed plan; sliding RANGE frames
+    only on the time-bounded allowlist."""
+    offenders = []
+    for name, q in sorted(QUERIES.items()):
+        text = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for kind, line in _quadratic_frame_lines(text):
+            if kind == "sliding-range" and name in _SLIDING_RANGE_OK:
+                continue
+            offenders.append((name, kind, line))
+    assert not offenders, f"non-incremental window frames: {offenders}"
+
+
+def test_quadratic_frame_guard_catches_both_shapes(spark):
+    """The helper must flag a (1, unboundedFollowing) frame and a bounded
+    RANGE frame, and must NOT flag running (unboundedPreceding) frames,
+    whole-partition frames, or small sliding ROWS frames."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    plan = lambda d: d._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+    wf = Window.partitionBy("k").orderBy("id")
+    following = df.withColumn(
+        "t", F.sum("id").over(wf.rowsBetween(1, Window.unboundedFollowing))
+    )
+    sliding_range = df.withColumn(
+        "t", F.sum("id").over(wf.rangeBetween(-10, Window.currentRow))
+    )
+    running = df.withColumn(
+        "t",
+        F.sum("id").over(
+            wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    whole = df.withColumn(
+        "t",
+        F.sum("id").over(
+            wf.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    sliding_rows = df.withColumn(
+        "t", F.sum("id").over(wf.rowsBetween(-2, Window.currentRow))
+    )
+    assert any(k == "following" for k, _ in _quadratic_frame_lines(plan(following)))
+    assert any(
+        k == "sliding-range" for k, _ in _quadratic_frame_lines(plan(sliding_range))
+    )
+    assert not _quadratic_frame_lines(plan(running))
+    assert not _quadratic_frame_lines(plan(whole))
+    assert not _quadratic_frame_lines(plan(sliding_rows))
+
+
 def test_scale_report_shape(spark, sf_dir):
     """scale_report gives a correct one-call diagnostic on a known plan."""
     rep = plans.scale_report(QUERIES["q02_filter"].spark(spark, sf_dir))
