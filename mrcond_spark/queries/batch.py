@@ -2165,6 +2165,12 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # base feeds three plan branches (builds, probes, the final join) and
+    # Catalyst recomputes the scan+window per branch. materialize_once here
+    # was MEASURED AND REJECTED (the q123/q144 rule — per-site, never
+    # blanket): checkpoint-writing 1M rows of decimal cumsums costs more
+    # than recomputing the cheap window 3x at every tested scale
+    # (sf0.1 2.25->6.3 s, sf1 2.49->5.79 s, .skew 3.08->5.43 s).
     base = ev.select(
         "user_id",
         "event_id",
