@@ -95,6 +95,75 @@ def _value_universe(rows: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_grams(vals: DataFrame, q: int, k: int) -> DataFrame:
+    """Frequency-ordered occurrence-tagged gram arrays per value, one row per
+    value with at least one gram: ``(vid, len, ord)``, checkpointed with an
+    explicit keyed repartition.
+
+    Occurrence numbering is computed ARRAY-SIDE per value (count equal grams
+    at or before each position): O(len^2) substring compares inside one JVM
+    expression beat a (value, gram) row_number window — the tagging needs no
+    exchange at all, and len is a short join key (16-80 chars), not a
+    document.
+
+    NOTE (round-10): a position filter on these tagged grams
+    (|pos_a - pos_b| <= k in the candidate join) is UNSOUND and was reverted
+    after the brute-force parity test caught it dropping true pairs: the
+    tag-matched occurrences (i-th occurrence of a gram on both sides) need
+    not be edit-ALIGNED occurrences — an edit can destroy an early
+    occurrence and renumber a far-away one into the same tag, so their
+    position difference is unbounded. Ed-Join's location-based filter
+    requires genuinely positional grams with window-matched intersection
+    semantics, not occurrence tags.
+
+    ``ranked`` feeds both candidate self-join sides; its ord arrays are
+    SMALL (len/q grams of a short join key), so one evaluation + stored
+    blocks wins (measured ~6.2 -> ~5.2 s at sf0.1). The same
+    materialization LOSES in setsim.py, where ord holds full document
+    shingle sets — checkpoint I/O there costs more than the exchange-reuse
+    it replaces.
+
+    The keyed repartition is the ``_value_universe`` lesson at a SECOND
+    site (round-11): ranked's groupBy exchange is byte-small at bench scale
+    (~160 KiB), AQE coalesces it to ONE partition, and the lazy checkpoint
+    FREEZES that layout — the prefix explode, the candidate self-join's
+    probe side (~4.9M pairs at sf0.1) and the distinct's shuffle WRITE
+    (56 MiB, observed max/median task ratio ~170,000x) then all ran on one
+    core. AQE sizes reduce stages by shuffle BYTES and is blind to the
+    CPU/row fan-out of the explode+join above them (PERF.md q139 finding);
+    user repartitions are AQE-exempt. Measured interleaved min-of-4 at
+    sf0.1: q180 4.76 -> 2.74 s, hash-identical. Pinned by
+    tests/test_plans.py like the value universe's layout.
+    """
+    toks = vals.filter(F.col("len") >= q).select(
+        "vid",
+        "len",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, len - {q} + 1),"
+                f" i -> concat(substring(s, i, {q}), '#',"
+                f"   size(filter(sequence(1, i),"
+                f"        j -> substring(s, j, {q}) = substring(s, i, {q})))))"
+            )
+        ).alias("tok"),
+    )
+    # tf counts DISTINCT VALUES containing the gram (not rows): any global
+    # total order satisfies the prefix theorem, and value-level rarity is
+    # the right skew heuristic — a gram shared by every copy of one hot
+    # boilerplate string is common at row level but may be rare (and
+    # safely bucketable) at value level.
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    ranked = (
+        toks.join(freq, "tok")
+        .groupBy("vid", "len")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
+    )
+    return materialize_once(
+        ranked.repartition(vals.sparkSession.sparkContext.defaultParallelism, "vid"),
+        eager=False,
+    )
+
+
 def edit_distance_join(
     strs: DataFrame,
     id_col: str = "id",
@@ -155,50 +224,9 @@ def edit_distance_join(
     short_max = q * k + q - 1  # |grams| <= q*k  <=>  len <= q*k + q - 1
 
     # --- prefix-filter leg (every value with at least one gram) ----------
-    # occurrence numbering is computed ARRAY-SIDE per value (count equal
-    # grams at or before each position): O(len^2) substring compares inside
-    # one JVM expression beat a (value, gram) row_number window — the
-    # tagging needs no exchange at all, and len is a short join key (16-80
-    # chars), not a document
-    # NOTE (round-10): a position filter on these tagged grams
-    # (|pos_a - pos_b| <= k in the candidate join) is UNSOUND and was
-    # reverted after the brute-force parity test caught it dropping true
-    # pairs: the tag-matched occurrences (i-th occurrence of a gram on
-    # both sides) need not be edit-ALIGNED occurrences — an edit can
-    # destroy an early occurrence and renumber a far-away one into the
-    # same tag, so their position difference is unbounded. Ed-Join's
-    # location-based filter requires genuinely positional grams with
-    # window-matched intersection semantics, not occurrence tags.
-    toks = vals.filter(F.col("len") >= q).select(
-        "vid",
-        "len",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, len - {q} + 1),"
-                f" i -> concat(substring(s, i, {q}), '#',"
-                f"   size(filter(sequence(1, i),"
-                f"        j -> substring(s, j, {q}) = substring(s, i, {q})))))"
-            )
-        ).alias("tok"),
-    )
-    # tf counts DISTINCT VALUES containing the gram (not rows): any global
-    # total order satisfies the prefix theorem, and value-level rarity is
-    # the right skew heuristic — a gram shared by every copy of one hot
-    # boilerplate string is common at row level but may be rare (and
-    # safely bucketable) at value level.
-    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    ranked = (
-        toks.join(freq, "tok")
-        .groupBy("vid", "len")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
-    )
+    # tagging/ordering/layout rationale lives on _ranked_grams
+    ranked = _ranked_grams(vals, q=q, k=k)
     plen = F.least(F.lit(q * k + 1), F.size("ord"))
-    # ranked feeds both self-join sides; its ord arrays are SMALL (len/q
-    # grams of a short join key), so one evaluation + stored blocks wins
-    # (measured ~6.2 -> ~5.2 s at sf0.1). The same materialization LOSES in
-    # setsim.py, where ord holds full document shingle sets — checkpoint
-    # I/O there costs more than the exchange-reuse it replaces.
-    ranked = materialize_once(ranked, eager=False)
     prefix = ranked.select(
         "vid",
         "len",

@@ -1219,25 +1219,38 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     # floors; eager=False still truncates lineage (no 2^rounds subtree
     # blow-up) but computes everything inside the single final job
     # (measured 4.38 s -> 3.65 s at sf0.1)
-    adj = materialize_once(
+    #
+    # Round shape (round-11 rewrite, measured 9.9 -> 3.1 s min-of-3 in one
+    # probe session, hash-identical at sf0.01/sf0.1):
+    # - the SURVIVING edge list is carried between rounds instead of
+    #   re-filtering the full adjacency: alive sets only ever shrink, so an
+    #   edge with a dead endpoint can never resurrect — filtering `cur`
+    #   progressively computes the identical degree sequence while later
+    #   rounds join/aggregate a fraction of the bytes (guide: shuffle fewer
+    #   bytes, and each round's filter work is not re-done);
+    # - the v-side semi-filter runs FIRST and the u-side join LAST, so the
+    #   u-keyed join output feeds groupBy("u") without another exchange
+    #   (2 data-sized exchanges per round instead of 3).
+    cur = materialize_once(
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))),
         eager=False,
     )
-    alive = adj.select(F.col("u").alias("node")).distinct()
+    alive = cur.select(F.col("u").alias("node")).distinct()
     for _ in range(KCORE_ROUNDS):
-        deg = (
-            adj.join(alive.withColumnRenamed("node", "u"), "u")
-            .join(alive.select(F.col("node").alias("v")), "v")
-            .groupBy("u")
-            .agg(F.count("*").alias("deg"))
+        cur = materialize_once(
+            cur.join(alive.select(F.col("node").alias("v")), "v")
+            .join(alive.withColumnRenamed("node", "u"), "u")
+            .select("u", "v"),
+            eager=False,
         )
+        deg = cur.groupBy("u").agg(F.count("*").alias("deg"))
         alive = materialize_once(
             deg.filter(F.col("deg") >= KCORE_K).select(F.col("u").alias("node")),
             eager=False,
         )
     dfin = (
-        adj.join(alive.withColumnRenamed("node", "u"), "u")
-        .join(alive.select(F.col("node").alias("v")), "v")
+        cur.join(alive.select(F.col("node").alias("v")), "v")
+        .join(alive.withColumnRenamed("node", "u"), "u")
         .groupBy("u")
         .agg(F.count("*").alias("deg"))
     )

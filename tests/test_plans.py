@@ -460,3 +460,29 @@ def test_q139_candidate_join_keeps_keyed_repartition(spark, sf_dir):
         "q139 lost its keyed candidate repartition — AQE will run the "
         "levenshtein verify leg on a bytes-coalesced (near-serial) stage"
     )
+
+
+def test_q180_ranked_grams_keep_keyed_repartition(spark, sf_dir):
+    """Round-11 finding (the q180 hazard at a THIRD site, this time inside
+    q180 itself): the frequency-ranked gram frame is lazily checkpointed
+    after its byte-small groupBy exchange (~160 KiB at sf0.1), which AQE
+    coalesces to ONE partition — the frozen layout then serialized the
+    prefix explode, the ~4.9M-pair candidate self-join and the distinct's
+    56 MiB shuffle write onto one core (observed max/median task write
+    ratio ~170,000x; 4.76 -> 2.74 s interleaved min-of-4 after the fix).
+    Assert both fronts, like the value-universe pin above: the AQE-exempt
+    user repartition in the optimized plan, and the frozen checkpoint
+    layout at cluster width."""
+    from mrcond_spark.operators.editsim import _ranked_grams, _value_universe
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.coalesce("text", F.lit("")).alias("s")
+    )
+    vals = _value_universe(docs)
+    ranked_plan = _ranked_grams(vals, q=2, k=2)
+    # the helper returns the LAZY checkpoint (plan already truncated), so
+    # assert the frozen layout directly: a checkpoint freezes whatever
+    # partitioning its input had at materialization time
+    n = ranked_plan.rdd.getNumPartitions()
+    expect = spark.sparkContext.defaultParallelism
+    assert n == expect, f"ranked gram frame frozen at {n} partitions, want {expect}"
