@@ -175,6 +175,13 @@ def pmi_collocations(
     """
     from . import materialize_once
 
+    # NO ensure_parallelism here (round-11 checkpoint-layout sweep measured
+    # and REVERTED it): the tokenize is a cheap JVM expression, so widening
+    # the one-split bench scan with a round-robin repartition costs more
+    # than the single-core map sides it saves (q108 interleaved median
+    # 0.79 -> 1.04 s with the guard). The guard pays only where the frozen
+    # stage is an expensive Python-UDF pass (ngram_novelty's shingler:
+    # 2.42 -> 1.66 s with it) — measure per site, never blanket-apply.
     tok = materialize_once(
         df.select(tokens(F.col(text_col)).alias("__toks")), eager=False
     )
@@ -243,12 +250,23 @@ def ngram_novelty(
     the materialization is O(corpus tokens) executor storage — a
     production pipeline writes this stage to a table (materialize_once
     contract), which is the same decision.
+
+    ``ensure_parallelism`` on the input is the q118/q88 single-split guard
+    at another site (round-11 checkpoint-layout sweep): the sf0.1
+    documents parquet reads as ONE split, so the Arrow shingle UDF — the
+    operator's dominant stage — and the 26 MB gram explode ran on one
+    core, and the eager checkpoint froze that layout for both consumer
+    branches' map sides. This operator matches the guard's documented
+    pay-off criteria exactly (UDF stage dominates; downstream re-shuffles
+    thin gram rows — unlike setsim's fat-array checkpoints where the same
+    guard measured 2-7x WORSE): interleaved A/B at sf0.1, median 2.42 ->
+    1.66 s, hash-identical at sf0.01. No-op on multi-split inputs.
     """
-    from . import materialize_once
+    from . import ensure_parallelism, materialize_once
     from .dedup import shingle_udf
 
     grams = materialize_once(
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(shingle_udf(n)(F.col(text_col)))).alias("g"),
         )
