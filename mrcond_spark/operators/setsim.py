@@ -115,11 +115,26 @@ def prefix_setsim_join(
         )
         .distinct()
     )
+    # Verify-leg layout (round-11): the candidate pairs are BYTE-small (ids
+    # and sizes) but each surviving row costs one exact array_intersect, so
+    # AQE's byte-based coalescing collapses the two verify joins to ~5
+    # partitions at bench scale while their cost is CPU — the q139/q180
+    # hazard at a third family. The keyed repartitions REPLACE the joins'
+    # own exchanges (EnsureRequirements sees the clustering satisfied and
+    # the other side must match the pinned width), so nothing is added
+    # where AQE already goes wide. Measured interleaved A/B at sf0.1,
+    # hash-identical: q123 1.27 -> 0.96 s median. NOT the same site as the
+    # measured-and-rejected scan-side ensure_parallelism (that widened the
+    # fat-array shingle checkpoint upstream and lost 2-7x at sf1; this pins
+    # the thin-pair candidate layout downstream of it).
+    n_part = sets.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(n_part, "id_a")
     sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         cand.join(sa, "id_a")
+        .repartition(n_part, "id_b")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union)
@@ -211,10 +226,16 @@ def prefix_containment_join(
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
+    # same verify-leg layout pin as prefix_setsim_join (rationale there);
+    # measured interleaved A/B at sf0.1, hash-identical: q144
+    # 2.41 -> 1.49 s median.
+    n_part = sets.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(n_part, "id_a")
     sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     return (
         cand.join(sa, "id_a")
+        .repartition(n_part, "id_b")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("sz_a"))

@@ -486,3 +486,26 @@ def test_q180_ranked_grams_keep_keyed_repartition(spark, sf_dir):
     n = ranked_plan.rdd.getNumPartitions()
     expect = spark.sparkContext.defaultParallelism
     assert n == expect, f"ranked gram frame frozen at {n} partitions, want {expect}"
+
+
+def test_setsim_verify_legs_keep_keyed_repartitions(spark, sf_dir):
+    """Round-11 finding (the q139/q180 hazard in the setsim family): the
+    PPJoin verify joins receive BYTE-small candidate pairs (ids + sizes,
+    ~5 MB at sf0.1) but pay one exact array_intersect per surviving row,
+    so AQE's byte-based coalescing ran both verify joins on ~5 partitions
+    at bench scale while 32 cores idled. The keyed user repartitions
+    REPLACE the joins' own exchanges (the clustering is satisfied, the
+    other side must match the pinned width), so nothing extra is paid
+    where AQE already goes wide. Measured interleaved A/B at sf0.1,
+    hash-identical output: q123 1.27 -> 0.96 s, q144 2.41 -> 1.49 s
+    median. Pin both queries' optimized plans: two keyed user
+    repartitions each (id_a then id_b)."""
+    for name in ("q123_setsim_join", "q144_containment_join"):
+        df = QUERIES[name].spark(spark, sf_dir)
+        optimized = plans.explain_str(df, "extended")
+        n_rep = optimized.count("RepartitionByExpression")
+        assert n_rep >= 2, (
+            f"{name} lost its keyed verify-leg repartitions (found {n_rep}, "
+            "want >=2) — AQE will run the array_intersect verify joins on a "
+            "bytes-coalesced (near-serial) stage"
+        )
