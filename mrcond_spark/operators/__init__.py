@@ -54,12 +54,54 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     would serialize the whole stage on one core. At real scale inputs have
     many splits and this is a no-op — the guard keeps us from injecting a
     gratuitous shuffle into big plans.
+
+    COST CAVEAT (round-11 verdict residual 6): ``df.rdd.getNumPartitions()``
+    compiles the plan to an RDD to read its partition count — driver-side
+    planning work per call (and a real job if the plan holds an AQE-staged
+    exchange). Fine at the current call sites (once per operator build,
+    directly over a scan or checkpoint); never call it inside a loop or on
+    a deep unmaterialized plan.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+#: When not None, every ``materialize_once`` call appends its input's
+#: pre-checkpoint ``explain("formatted")`` text here (see
+#: ``capture_preckpt_plans``). Plain module global — the tap is a
+#: single-threaded plan-dump aid, not a runtime feature.
+_PRECKPT_TAP: list[str] | None = None
+
+
+def capture_preckpt_plans():
+    """Context manager: record the PRE-checkpoint plan of every
+    ``materialize_once`` call made inside the block.
+
+    Round-12 (r11-verdict item 8): ``localCheckpoint`` truncates lineage,
+    so a committed ``explain()`` capture of a checkpointed operator hides
+    exactly the exchanges an optimization added below the checkpoint — the
+    r11 q180/q105 before/after captures differed only in RDD ids while the
+    real change (a keyed repartition feeding the checkpoint) was invisible.
+    The plan-dump tool (tools/measure_queries.py --plans) wraps plan
+    construction in this context and appends each captured subplan to the
+    capture file, so plans/ evidence shows checkpoint-hidden exchanges.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        global _PRECKPT_TAP
+        prev = _PRECKPT_TAP
+        _PRECKPT_TAP = []
+        try:
+            yield _PRECKPT_TAP
+        finally:
+            _PRECKPT_TAP = prev
+
+    return _cm()
 
 
 def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -89,4 +131,8 @@ def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
     stage to a table instead. The win is identical: N downstream consumers,
     one computation.
     """
+    if _PRECKPT_TAP is not None:
+        from ..plans import explain_str
+
+        _PRECKPT_TAP.append(explain_str(df, "formatted"))
     return df.localCheckpoint(eager=eager)

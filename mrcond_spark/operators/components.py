@@ -23,7 +23,7 @@ all prior rounds per action.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from . import materialize_once
@@ -41,16 +41,26 @@ def connected_components(
     direction); isolated nodes simply don't appear (callers union them in if
     needed).
     """
+    # Lazy checkpoints for the two loop inputs (round-12, guide §2.6 "job
+    # floor"): neither is consumed by a standalone action any more — round
+    # 1's single observed-checkpoint job materializes und, the initial
+    # labels, and the first propagation in ONE job instead of three. Both
+    # still truncate lineage, and rounds 2+ read und's stored blocks
+    # (within one job a shared RDD is one DAG node, so the double reference
+    # in round 1's plan does not recompute the edge pipeline).
     und = materialize_once(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     labels = materialize_once(
-        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node")),
+        eager=False,
     )
     converged = False
     prev_sum = None
+    expected_nodes = None
     for _ in range(max_iter):
         # ONE join per round: the label POINTERS (node -> label) are just
         # more edges, so unioning them with the graph makes a single
@@ -66,15 +76,37 @@ def connected_components(
         edges_r = und.union(
             labels.select(F.col("node").alias("a"), F.col("label").alias("b"))
         )
+        # labels only ever decrease, so an unchanged SUM means fixpoint.
+        # The sum rides the SAME job that materializes the round via
+        # observe() — Dataset.checkpoint is a tracked SQL action, so the
+        # CollectMetrics accumulators are populated by the eager
+        # localCheckpoint itself and the former per-round
+        # .agg(...).collect() job (one driver job FLOOR per round — ~half
+        # of q99/q170's wall at bench scale was these floors, guide §2.6)
+        # disappears. Exactness guard: observed metrics are accumulator-
+        # based, and a speculatively re-run task at cluster scale could
+        # double-count; the node COUNT is loop-invariant (every node
+        # survives via its pointer edge), so any count drift across rounds
+        # falls back to the exact single-job aggregation for that round.
+        obs = Observation()
         new_labels = materialize_once(
             edges_r.join(labels, edges_r.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("label"))
+            .observe(
+                obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum"),
+                F.count(F.lit(1)).alias("n_nodes"),
+            )
         )
-        # labels only ever decrease, so an unchanged SUM means fixpoint —
-        # one cheap aggregation over the checkpointed labels instead of a
-        # changed-rows join per round
-        label_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        got = obs.get
+        label_sum, n_seen = got["label_sum"], got["n_nodes"]
+        if expected_nodes is None:
+            expected_nodes = n_seen
+        elif n_seen != expected_nodes:  # pragma: no cover — speculation-only path
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
         labels = new_labels
         if label_sum == prev_sum:
             converged = True

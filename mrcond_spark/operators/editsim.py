@@ -95,7 +95,7 @@ def _value_universe(rows: DataFrame) -> DataFrame:
     )
 
 
-def _ranked_grams(vals: DataFrame, q: int, k: int) -> DataFrame:
+def _ranked_grams(vals: DataFrame, q: int) -> DataFrame:
     """Frequency-ordered occurrence-tagged gram arrays per value, one row per
     value with at least one gram: ``(vid, len, ord)``, checkpointed with an
     explicit keyed repartition.
@@ -225,7 +225,7 @@ def edit_distance_join(
 
     # --- prefix-filter leg (every value with at least one gram) ----------
     # tagging/ordering/layout rationale lives on _ranked_grams
-    ranked = _ranked_grams(vals, q=q, k=k)
+    ranked = _ranked_grams(vals, q=q)
     plen = F.least(F.lit(q * k + 1), F.size("ord"))
     prefix = ranked.select(
         "vid",

@@ -25,7 +25,7 @@ renormalization).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from . import materialize_once
@@ -47,17 +47,30 @@ def pagerank(
     so the per-iteration join touches each ``(src, dst)`` once.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # Lazy edge checkpoint (round-12, guide §2.6 job floor): e's only
+    # pre-loop consumer is the nodes build below, whose eager checkpoint
+    # job materializes e's stored blocks in the same pass; out_w/share then
+    # read those blocks when the final job runs. One pre-loop driver job
+    # instead of three (e-materialize + nodes-materialize + nodes.count()).
     e = materialize_once(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
         .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
+        .agg(F.sum("w").alias("w")),
+        eager=False,
     )
+    # The node count rides the nodes-materialize job via observe():
+    # Dataset.checkpoint is a tracked SQL action, so the CollectMetrics
+    # accumulator is populated by the eager localCheckpoint itself and the
+    # former nodes.count() job floor disappears (the components-loop
+    # convergence fusion, same rationale and caveats).
+    obs = Observation()
     nodes = materialize_once(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
-    n_nodes = nodes.count()  # scalar — metadata-sized driver value
+    n_nodes = int(obs.get["n"])  # scalar — metadata-sized driver value
     d = float(damping)
     teleport = (1.0 - d) / n_nodes
 

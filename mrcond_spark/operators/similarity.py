@@ -266,28 +266,67 @@ def sampled_kmeans_centroids(
     return centroids
 
 
-def cell_expr(centroids, vec: Column) -> Column:
-    """Nearest-centroid cell id as a JVM expression over ``vec``.
+def _cell_scores(centroids, vec: Column) -> Column:
+    """Per-cell k-means assignment scores for ``vec`` as ONE array column.
 
     Per cell, score = -2*v.c + |c|^2 (the |v|^2 term is constant per row and
-    drops out of the argmin); cell id = first index attaining the min score.
-    Honest cost model: Spark evaluates higher-order functions
-    (zip_with/aggregate) INTERPRETED, not codegen'd — but an A/B at 16 cells
-    x 64 dims measured the interpreted fold 2x FASTER than an Arrow-batched
-    numpy argmin (0.15 s vs 0.33 s at sf0.1): the per-stage Python worker
-    round-trip costs more than 16x64 lambda evals per row. For much wider
-    configs (hundreds of cells x 1k+ dims) the crossover flips; switch to a
-    pandas_udf argmin there. Deterministic for identical input bytes —
-    identical vectors ALWAYS land in the identical cell, which is what the
-    planted-duplicate oracles build on.
+    drops out of the argmin). Honest cost model: Spark evaluates
+    higher-order functions (zip_with/aggregate) INTERPRETED, not codegen'd —
+    but an A/B at 16 cells x 64 dims measured the interpreted fold 2x
+    FASTER than an Arrow-batched numpy argmin (0.15 s vs 0.33 s at sf0.1):
+    the per-stage Python worker round-trip costs more than 16x64 lambda
+    evals per row. For much wider configs (hundreds of cells x 1k+ dims)
+    the crossover flips; switch to a pandas_udf argmin there. Deterministic
+    for identical input bytes — identical vectors ALWAYS land in the
+    identical cell, which is what the planted-duplicate oracles build on.
+
+    CONSTRUCTION cost (round-12 event-log finding, guide §7.3 "nothing is
+    running" shape): the original per-literal Column algebra built ~16x64
+    ``F.lit`` nodes — several thousand Py4J socket round-trips (cProfile:
+    4,487 sends), 0.96 s warm / 1.76 s cold of pure DRIVER time per build,
+    the single largest cost in q99/q56 at bench scale and invisible to
+    stage metrics because no job is running. (PySpark's ``F.lit(list)``
+    recurses per ELEMENT, so nested-list literals pay the same wire cost.)
+    The centroid matrix and the norm vector are therefore rendered as two
+    D-suffixed SQL array literals — ONE ``F.expr`` parse each, measured
+    0.075 s build — and only the small zip_with shell is Column algebra.
+    ``repr(float)`` round-trips IEEE doubles exactly and Java's
+    ``Double.parseDouble`` is correctly rounded, so every literal, the
+    fold order, and the resulting scores are bit-identical to the old
+    form (A/B-verified: 0 differing assignments over sf0.1, all oracle
+    consumers green).
     """
 
-    def cell_score(c) -> Column:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        return F.lit(float((c * c).sum())) - 2.0 * dot(vec, cvec)
+    def dlit(x) -> str:
+        return f"{float(x)!r}D"
 
-    scores = F.array(*[cell_score(c) for c in centroids])
-    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    cents = F.expr(
+        "array("
+        + ",".join("array(" + ",".join(dlit(x) for x in c) + ")" for c in centroids)
+        + ")"
+    )
+    norms = F.expr("array(" + ",".join(dlit((c * c).sum()) for c in centroids) + ")")
+    return F.zip_with(norms, cents, lambda n2, c: n2 - 2.0 * dot(vec, c))
+
+
+def with_cell(df: DataFrame, centroids, vec: Column, out: str = "cell") -> DataFrame:
+    """Append nearest-centroid cell id ``out`` (argmin over ``_cell_scores``).
+
+    Two-step projection ON PURPOSE: ``array_position(s, array_min(s))``
+    references the scores array twice, and inlining the scores expression
+    (the old single-Column form) duplicated the whole 16x64-literal fold
+    tree — twice the analysis work and twice the per-row evaluation.
+    Materializing the scores as a projected column first keeps one copy;
+    CollapseProject does NOT re-inline it (multi-referenced non-cheap
+    expression). Measured build+analysis 0.94 -> ~0.25 s warm; cell ids
+    bit-identical (the argmin consumes the same double array).
+    """
+    scores = F.col("__cell_scores")
+    return (
+        df.withColumn("__cell_scores", _cell_scores(centroids, vec))
+        .withColumn(out, (F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+        .drop("__cell_scores")
+    )
 
 
 def ivf_ann_topk(
@@ -346,9 +385,7 @@ def ivf_ann_topk(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id LONG, nbr_id LONG, cos_r DOUBLE, rank INT"
         )
-    assigned = vecs.select(
-        "nbr_id", "nv", cell_expr(centroids, F.col("nv")).alias("cell")
-    )
+    assigned = with_cell(vecs, centroids, F.col("nv"), "cell")
     # |queries| is small and pinned by contract; collecting from `assigned`
     # (same single pass as collecting the raw vectors) also yields each query
     # row's OWN cell under the same JVM expression that assigns every corpus
@@ -529,9 +566,8 @@ def semantic_dedup(
     # the (id, cell) frame is byte-small relative to re-running the argmin
     # pass over the corpus per side)
     ids = materialize_once(
-        ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("id"),
-            cell_expr(centroids, F.col(vec_col)).alias("cell"),
+        with_cell(ensure_parallelism(embeddings), centroids, F.col(vec_col)).select(
+            F.col(id_col).alias("id"), "cell"
         )
     )
     x, y = ids.alias("x"), ids.alias("y")

@@ -131,6 +131,23 @@ def register(
 #: swapped out r10 only because that window carried six B24 reps;
 #: the round-11 incoming set carries zero, and the window-coverage
 #: test requires a B24 rep. B16 is covered by incoming q68 (r1).
+#: Round 12 window (17 slots): the round-11 verdict's directed leads
+#: first — q123/q144 (setsim verify-leg repartition 7a6a349 landed
+#: after the r11 driver window ran; their r5 verdicts no longer
+#: attest shipping code) and q150 (r11 oracle tie-order fix,
+#: builder-sweep evidence only). Then the round-12 STALE-PREVENTION
+#: class: q99 + q170 (operators/components.py Observation-fused
+#: convergence check, r12), q112 (the same fusion in
+#: operators/graph.pagerank), q180 (oracle reformulated value-keyed +
+#: prefix-filtered per r11-verdict item 4 — oracle changes always
+#: re-attest). Remaining 10 slots: the displaced queue strictly
+#: oldest-first (q73 q76 q78 q79 r1; q20 r2; q07 q42 q44 q45 r3)
+#: with ONE coverage override — q24_conditional (r4) is the corpus'
+#: only swappable B25 rep after q72 rotates out, so it displaces r3
+#: q46 (E5 keeps three incoming reps + the fixed block). Still-open
+#: debt after this window: r3 rows q46 q51 q52 q53 q55 q74 q83 q92 —
+#: the oldest verdicts remaining; queue them first if a round 13
+#: ever runs.
 #: BENCH-LINE BUDGET: bench.build_summary_line now owns the 1950-char
 #: driver-tail budget with guarded graceful degradation (1-decimal
 #: seconds -> integer seconds "coarse":1 -> drop-fastest "qdrop":k;
@@ -182,38 +199,38 @@ PRIORITY: tuple[str, ...] = (
     "q49_ann_lsh",            # E4
     "q50_multimodal_features",  # E6
     "q54_embedding_near_dup",  # E2/E4
-    # round-11 rotation slots (see ROTATION note above): three stale
-    # re-attestations lead, q149's first driver row, then the thirteen
-    # oldest ledger rows strictly oldest-first
-    "q180_edit_distance_join",  # E2/B22/B26 STALE r7 — value-keyed rewrite
-    "q119_bloom_prejoin",     # B3/B4 STALE r6 — auto-sized Bloom
-    "q118_importance_weights",  # E5/B31 STALE r6 — ensure_parallelism guard
-    "q149_hll_rollup",        # B30/B11 first-ever driver row (rows-only)
-    "q14_grouping_sets",      # B13 r1
-    "q58_range_join",         # B9 r1
-    "q67_percentiles",        # B11 r1
-    "q68_latest_per_key",     # B15/B16 r1
-    "q69_map_funcs",          # B26/B27 r1
-    "q70_fuzzy_match",        # B22 r1
-    "q72_filtered_agg",       # B11/B25 r1
-    "q146_tpch_q5",           # B3/B4/B11 STALE-PREVENTION — decimal-first
-                              # ROUND landed r11 after the skew sweep's 1-cent
-                              # boundary FAIL (displaces r1 q73; B11/B22 stay
-                              # covered by fixed q10/q21)
-    "q147_trailing_window",   # B16/B23 STALE-PREVENTION — sliding RANGE frame
-                              # replaced by linear running-agg + as-of alignment
-                              # after the skew sweep's hot-key straggler
-                              # (displaces r1 q76; B23/B26 via q126/q69)
-    "q126_linear_interpolation",  # B16/B23 STALE-PREVENTION — the skew sweep's
-                              # O(n^2) unbounded-following frame fix landed r11
-                              # after its r10 verdict (B15 rep q78 displaced to
-                              # the r12 queue; fixed-block q15 covers B15)
-    "q139_edit_blocking_pairs",  # E2/B22 STALE-PREVENTION — keyed verify-leg
-                              # repartition landed r11 (dedecef) after its r10 verdict
-    "q88_decontamination",    # E2/E5 STALE-PREVENTION — ensure_parallelism scan
-                              # guard landed r11 (f05e8a0) after its verdict
-    "q108_pmi_collocations",  # E5/B18 STALE-PREVENTION — single materialized
-                              # tokenize pass landed r11 (28a2f54) after its r9 verdict
+    # round-12 rotation slots (see ROTATION note above): the round-11
+    # judge's three directed leads (the 7a6a349 setsim verify-leg change
+    # landed AFTER the r11 driver window, and q150's oracle fix has only
+    # builder-sweep evidence), then the round-12 STALE-PREVENTION class
+    # (engine/oracle code changed THIS round after the last attestation:
+    # the components-loop Observation convergence check touches q99/q170
+    # and, via the same fusion in operators/graph.pagerank, q112; the
+    # q180 oracle was reformulated value-keyed + prefix-filtered per
+    # r11-verdict item 4), then the displaced r1–r3 queue strictly
+    # oldest-first with ONE coverage override (q24, the sole B25 rep
+    # available — coverage outranks age, the q23 precedent). The other
+    # components-loop consumers (q74/q75/q62/q100/q165) are covered in
+    # the window by fixed-block q47/q54 plus q170/q99 here — all five
+    # share the identical operators/components.py loop.
+    "q123_setsim_join",       # E2/B26 STALE r5 — verify-leg repartition (7a6a349)
+    "q144_containment_join",  # E2/B26 STALE r5 — verify-leg repartition (7a6a349)
+    "q150_interval_coverage",  # B16/B23/B11 — r11 oracle tie-order fix, no driver row yet
+    "q99_semantic_dedup",     # E2/E4 STALE-PREVENTION r12 — components observe fusion
+    "q170_dedup_components",  # E1/E2/B16 STALE-PREVENTION r12 — components observe fusion
+    "q112_nation_pagerank",   # B4/B11/E5 STALE-PREVENTION r12 — pagerank observe fusion
+    "q180_edit_distance_join",  # E2/B22/B26 STALE-PREVENTION r12 — value-keyed oracle
+    "q73_string_agg",         # B11/B22 r1
+    "q76_gap_fill",           # B23/B26 r1
+    "q78_distribution_windows",  # B15 r1
+    "q79_multiset_ops",       # B20 r1
+    "q20_except",             # B20 r2
+    "q07_full_outer",         # B5 r3
+    "q42_top_tokens",         # E5 r3
+    "q44_quality_features",   # E5 r3
+    "q45_lang_id",            # E5 r3
+    "q24_conditional",        # B25 r4 — sole B25 rep (coverage override;
+                              # displaces r3 q46 — E5 covered by q42/q44/q45)
 )
 
 

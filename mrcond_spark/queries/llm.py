@@ -1967,18 +1967,78 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q180_edit_distance_join",
+    # Round-12 oracle reformulation (r11-verdict item 4). The r7-r11 oracle
+    # brute-forced all length-gated ROW pairs — O(rows^2) levenshteins, ~21
+    # min at sf1 on the tiled corpus (every head repeats ~10x), which forced
+    # a cap-skip that left the engine only shape-verified at sf1. This form
+    # states the IDENTICAL relation through the same two exactness-preserving
+    # reductions the engine uses (operators/editsim.py): (1) VALUE-keyed —
+    # edit distance is a function of the string value, so verify once per
+    # distinct value pair and re-expand to row pairs by string equality
+    # (pure algebraic regrouping); (2) Ed-Join q-gram prefix filter (q=2,
+    # k=3) — a candidate-SUPERSET generator (Xiao et al. VLDB'08: <=k edits
+    # destroy <=q*k tagged grams, so qualifying pairs share a gram within
+    # both sides' q*k+1 rarest; pairs where BOTH sides have <=q*k grams,
+    # i.e. len <= q*k+q-1 = 7, take the brute-force short leg; the diagonal
+    # leg carries dist-0 duplicate rows), followed by the SAME exact
+    # levenshtein verify — false candidates are filtered, no true pair can
+    # be lost, so the result set is provably unchanged. Validated this
+    # round: result-identical to the retired brute-force SQL at
+    # sf0.001/sf0.01/sf0.1 AND at sf1 (one 21-min brute-force run), and
+    # hash-exact vs the engine at all four scales.
     oracle="""
     WITH t AS (
         SELECT doc_id,
                regexp_replace(substr(coalesce(text, ''), 1, 16),
                               '[^\\x00-\\x7f]', '?', 'g') AS s
         FROM documents
+    ), v AS (
+        SELECT s, COUNT(*) AS cnt, MIN(doc_id) AS vid, length(s) AS len
+        FROM t GROUP BY s
+    ), g AS (
+        SELECT vid, len,
+               substr(s, i, 2) || '#' || CAST(ROW_NUMBER() OVER (
+                   PARTITION BY vid, substr(s, i, 2) ORDER BY i
+               ) AS VARCHAR) AS tok
+        FROM v, UNNEST(range(1, len)) AS r(i)
+        WHERE len >= 2
+    ), f AS (
+        SELECT tok, COUNT(*) AS tf FROM g GROUP BY tok
+    ), pref AS (
+        SELECT vid, len, tok FROM (
+            SELECT g.vid, g.len, g.tok,
+                   ROW_NUMBER() OVER (PARTITION BY g.vid ORDER BY f.tf, g.tok) AS rn
+            FROM g JOIN f USING (tok)
+        ) WHERE rn <= 7
+    ), cand AS (
+        SELECT a.vid AS vid_a, b.vid AS vid_b
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.vid < b.vid AND abs(a.len - b.len) <= 3
+    ), shortp AS (
+        SELECT LEAST(a.vid, b.vid) AS vid_a, GREATEST(a.vid, b.vid) AS vid_b
+        FROM v a JOIN v b
+          ON a.s <= b.s AND abs(a.len - b.len) <= 3
+        WHERE a.len <= 7 AND b.len <= 7
+    ), diag AS (
+        SELECT vid AS vid_a, vid AS vid_b FROM v WHERE cnt >= 2
+    ), vp AS (
+        SELECT DISTINCT vid_a, vid_b FROM (
+            SELECT vid_a, vid_b FROM cand
+            UNION ALL SELECT vid_a, vid_b FROM shortp
+            UNION ALL SELECT vid_a, vid_b FROM diag
+        )
+    ), verified AS (
+        SELECT va.s AS v_a, vb.s AS v_b, levenshtein(va.s, vb.s) AS dist
+        FROM vp JOIN v va ON vp.vid_a = va.vid JOIN v vb ON vp.vid_b = vb.vid
+        WHERE levenshtein(va.s, vb.s) <= 3
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.s, b.s) AS INT) AS dist
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE abs(length(a.s) - length(b.s)) <= 3
-      AND levenshtein(a.s, b.s) <= 3
+    SELECT LEAST(ra.doc_id, rb.doc_id) AS id_a,
+           GREATEST(ra.doc_id, rb.doc_id) AS id_b,
+           CAST(dist AS INT) AS dist
+    FROM verified
+    JOIN t ra ON ra.s = verified.v_a
+    JOIN t rb ON rb.s = verified.v_b
+    WHERE verified.v_a <> verified.v_b OR ra.doc_id < rb.doc_id
     ORDER BY id_a, id_b
     """,
     doc="EXACT edit-distance self-join over 16-char document heads "
@@ -1988,10 +2048,11 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     "that differ in their first 12 chars, this operator provably returns "
     "every qualifying pair — the string sibling of the exact setsim "
     "(q123) and containment (q144) joins, with the same rare-first "
-    "prefix skew cap. The oracle brute-forces all (length-gated) pairs, "
-    "so the entire pruning chain (occurrence-tagged gram count filter, "
-    "frequency-ordered q*k+1 prefixes, length gate, short-string leg) is "
-    "hash-checked for exactness, not sampled. 100 TB: candidate "
+    "prefix skew cap. The oracle mirrors the chain value-keyed (r12: the "
+    "retired brute-force form was O(rows^2) and cap-skipped at sf1; this "
+    "one is result-identical to it at all four scales — see the oracle "
+    "comment) so the full relation is hash-checked at every scale "
+    "including sf1, not shape-sampled. 100 TB: candidate "
     "generation shuffles only each string's q*k+1 RAREST grams (hot "
     "boilerplate grams never enter a prefix), verify is one JVM "
     "levenshtein per candidate, and the brute-force leg's domain is "

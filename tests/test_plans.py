@@ -479,7 +479,7 @@ def test_q180_ranked_grams_keep_keyed_repartition(spark, sf_dir):
         F.col("doc_id").alias("id"), F.coalesce("text", F.lit("")).alias("s")
     )
     vals = _value_universe(docs)
-    ranked_plan = _ranked_grams(vals, q=2, k=2)
+    ranked_plan = _ranked_grams(vals, q=2)
     # the helper returns the LAZY checkpoint (plan already truncated), so
     # assert the frozen layout directly: a checkpoint freezes whatever
     # partitioning its input had at materialization time
@@ -499,13 +499,33 @@ def test_setsim_verify_legs_keep_keyed_repartitions(spark, sf_dir):
     where AQE already goes wide. Measured interleaved A/B at sf0.1,
     hash-identical output: q123 1.27 -> 0.96 s, q144 2.41 -> 1.49 s
     median. Pin both queries' optimized plans: two keyed user
-    repartitions each (id_a then id_b)."""
+    repartitions each (id_a then id_b). Round-12 advice fix: count inside
+    the Optimized Logical Plan section ONLY — the full extended dump
+    repeats the tree in the parsed/analyzed sections, so a whole-string
+    count would keep passing if the optimizer stripped the exchanges, and
+    the physical plan additionally confirms the exchanges survive
+    EnsureRequirements (REPARTITION_BY_NUM shuffles, AQE-exempt)."""
     for name in ("q123_setsim_join", "q144_containment_join"):
         df = QUERIES[name].spark(spark, sf_dir)
-        optimized = plans.explain_str(df, "extended")
+        extended = plans.explain_str(df, "extended")
+        optimized = extended.split("== Optimized Logical Plan ==")[1].split(
+            "== Physical Plan =="
+        )[0]
         n_rep = optimized.count("RepartitionByExpression")
         assert n_rep >= 2, (
-            f"{name} lost its keyed verify-leg repartitions (found {n_rep}, "
-            "want >=2) — AQE will run the array_intersect verify joins on a "
-            "bytes-coalesced (near-serial) stage"
+            f"{name} lost its keyed verify-leg repartitions (found {n_rep} "
+            "in the optimized logical plan, want >=2) — AQE will run the "
+            "array_intersect verify joins on a bytes-coalesced (near-serial) "
+            "stage"
+        )
+        physical = extended.split("== Physical Plan ==")[1]
+        n_phys = physical.count("REPARTITION_BY_NUM")
+        # at the sf0.001 test scale the verify joins plan as BROADCAST hash
+        # joins and the planner elides one of the two user exchanges (no
+        # required distribution to satisfy); >=1 still catches wholesale
+        # removal, and the sf0.1 captures in plans/ carry both
+        assert n_phys >= 1, (
+            f"{name}: keyed verify-leg repartitions survive the optimizer "
+            f"but not the physical plan (found {n_phys} REPARTITION_BY_NUM, "
+            "want >=1)"
         )

@@ -32,7 +32,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=3)
+    def positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:  # run 0 is the untimed warm run; 0 timed runs = empty min()
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=positive_int, default=3)
     ap.add_argument("--plans", default=None, help="directory to write explain('formatted') files")
     ap.add_argument("--suffix", default="before", help="plan file suffix (before/after)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -42,9 +48,7 @@ def main() -> None:
     queries = all_queries()
     names = list(args.names)
     if names == ["all-top20"]:
-        import json as _j
-
-        exp = _j.load(open(os.path.join(os.path.dirname(__file__), "..", "bench_expected.json")))
+        exp = json.load(open(os.path.join(os.path.dirname(__file__), "..", "bench_expected.json")))
         names = [n for n, _ in sorted(exp.items(), key=lambda x: -x[1])[:20]]
 
     # warm the JVM / python workers the same way bench.py does
@@ -59,14 +63,30 @@ def main() -> None:
     for name in names:
         q = queries[name]
         if args.plans:
+            from mrcond_spark.operators import capture_preckpt_plans
+
             os.makedirs(args.plans, exist_ok=True)
             buf = io.StringIO()
-            with redirect_stdout(buf):
-                q.spark(spark, args.sf).explain("formatted")
+            # capture the pre-checkpoint subplans too (r11-verdict item 8):
+            # localCheckpoint truncates lineage, so the top-level explain of
+            # a checkpointed operator hides the exchanges added below the
+            # checkpoint — the tap records each materialize_once input's
+            # plan during query CONSTRUCTION so the capture file shows them
+            with capture_preckpt_plans() as taps:
+                df = q.spark(spark, args.sf)
+                with redirect_stdout(buf):
+                    df.explain("formatted")
             short = name.split("_", 1)[0]
             with open(os.path.join(args.plans, f"{short}_{args.suffix}.txt"), "w") as f:
                 f.write(f"# {name} — explain('formatted') at {args.sf}\n")
                 f.write(buf.getvalue())
+                for i, sub in enumerate(taps):
+                    f.write(
+                        f"\n# --- pre-checkpoint subplan {i + 1}/{len(taps)} "
+                        "(materialize_once input; lineage truncated in the "
+                        "main plan above) ---\n"
+                    )
+                    f.write(sub)
         samples = []
         spark.sparkContext.setJobDescription(f"measure:{name}")
         for i in range(args.runs + 1):  # first run is the warm run
