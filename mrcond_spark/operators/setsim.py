@@ -65,8 +65,19 @@ def prefix_setsim_join(
     sets = sets.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
     toks = sets.select("id", F.explode("toks").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # Width pin at the THIN upstream exchange (round-12, replaces the r11
+    # verify-leg repartitions — rationale at the verify joins below): the
+    # AQE-exempt keyed repartition REPLACES the groupBy(id)'s own exchange
+    # (EnsureRequirements sees clustering(id) satisfied, guide §2.4), so it
+    # adds zero bytes — collect_list partials never shrink shuffle volume
+    # anyway — and everything downstream (prefix posting, candidate join
+    # output on the probe side, pair dedup on (id_a, ...) ⊇ {id}, and both
+    # broadcast verify joins) INHERITS the full-width hash(id) layout
+    # instead of whatever byte-based width AQE coalesces this exchange to.
+    n_part = sets.sparkSession.sparkContext.defaultParallelism
     ranked = (
         toks.join(freq, "tok")
+        .repartition(n_part, "id")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
     )
@@ -115,26 +126,25 @@ def prefix_setsim_join(
         )
         .distinct()
     )
-    # Verify-leg layout (round-11): the candidate pairs are BYTE-small (ids
-    # and sizes) but each surviving row costs one exact array_intersect, so
-    # AQE's byte-based coalescing collapses the two verify joins to ~5
-    # partitions at bench scale while their cost is CPU — the q139/q180
-    # hazard at a third family. The keyed repartitions REPLACE the joins'
-    # own exchanges (EnsureRequirements sees the clustering satisfied and
-    # the other side must match the pinned width), so nothing is added
-    # where AQE already goes wide. Measured interleaved A/B at sf0.1,
-    # hash-identical: q123 1.27 -> 0.96 s median. NOT the same site as the
-    # measured-and-rejected scan-side ensure_parallelism (that widened the
-    # fat-array shingle checkpoint upstream and lost 2-7x at sf1; this pins
-    # the thin-pair candidate layout downstream of it).
-    n_part = sets.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(n_part, "id_a")
+    # Verify-leg layout (round-12, supersedes the r11 thin-pair
+    # repartitions): the r11 fix pinned width with repartition(id_a) /
+    # repartition(id_b) around the verify joins. The round-12 sf1 plan
+    # audit (OPTIMIZATION_r12.md) showed that at scale AQE turns BOTH
+    # verify joins into broadcasts (the sets side is small relative to the
+    # candidate volume), and the mid-chain repartition(id_b) then ships
+    # candidates WITH the attached toks_a arrays — 33.8 GiB of exchange
+    # data at sf1 for a join that, being broadcast, has no distribution
+    # requirement at all. The width pin now lives at the thin ranked
+    # exchange above (hash(id) == hash(id_a) flows through the probe-side
+    # candidate join and the pair dedup), so the verify pipeline runs
+    # full-width with ZERO exchanges downstream of candidate generation.
+    # Where a future scale tips the verify joins back to sort-merge,
+    # EnsureRequirements inserts the needed exchanges as before.
     sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         cand.join(sa, "id_a")
-        .repartition(n_part, "id_b")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * union)
@@ -189,8 +199,11 @@ def prefix_containment_join(
     sets = sets.select(F.col(id_col).alias("id"), F.col(set_col).alias("toks"))
     toks = sets.select("id", F.explode("toks").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # same thin-exchange width pin as prefix_setsim_join (rationale there)
+    n_part = sets.sparkSession.sparkContext.defaultParallelism
     ranked = (
         toks.join(freq, "tok")
+        .repartition(n_part, "id")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ord"))
     )
@@ -226,16 +239,13 @@ def prefix_containment_join(
         .select("id_a", "id_b", "sz_a")
         .distinct()
     )
-    # same verify-leg layout pin as prefix_setsim_join (rationale there);
-    # measured interleaved A/B at sf0.1, hash-identical: q144
-    # 2.41 -> 1.49 s median.
-    n_part = sets.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(n_part, "id_a")
+    # same verify-leg layout as prefix_setsim_join (round-12: the width pin
+    # moved to the thin ranked exchange above; the r11 thin-pair
+    # repartitions are gone — rationale there)
     sa = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     return (
         cand.join(sa, "id_a")
-        .repartition(n_part, "id_b")
         .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
         .filter(F.lit(t_den) * F.col("inter") >= F.lit(t_num) * F.col("sz_a"))

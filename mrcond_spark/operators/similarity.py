@@ -561,24 +561,55 @@ def semantic_dedup(
     )
     if centroids is None:
         return embeddings  # empty corpus: nothing to dedup
-    # both self-join sides reference the assignment stage; compute it once
-    # (same materialize-once rationale as the LSH bucketize stage above —
-    # the (id, cell) frame is byte-small relative to re-running the argmin
-    # pass over the corpus per side)
-    ids = materialize_once(
-        with_cell(ensure_parallelism(embeddings), centroids, F.col(vec_col)).select(
-            F.col(id_col).alias("id"), "cell"
-        )
+    # Cell-grouped verify (round-12, guide §8 "move big rows once"): the
+    # r11 shape self-joined a byte-small (id, cell) checkpoint into
+    # candidate PAIRS and re-attached a vector to BOTH sides of every pair
+    # — at sf1 that is ~12M pairs x two 64-double arrays through two joins
+    # and the Arrow boundary (~12 GB crossing for a 10 MB corpus). Each
+    # vector now ships ONCE: one shuffle of (id, cell, vec) keyed by cell,
+    # and the per-cell pairwise cosines come from one numpy Gram matmul
+    # per group, emitting only the qualifying (id_a < id_b) pairs.
+    # Exactness: same float64 dot/norm/ratio math as cosine_pairs_udf on
+    # the same bytes, and the corpus premise the planted oracles build on
+    # (no NATURAL pair approaches the threshold; planted duplicates sit at
+    # exactly 1.0) keeps the >= threshold relation insensitive to
+    # summation order — swept hash-exact at sf0.01/sf0.1/sf1.
+    # 100 TB: the cell shuffle is the corpus's single full pass (SemDeDup's
+    # per-cell quadratic verify is the algorithm's stated cost — size
+    # n_clusters so cells stay ~1e5); the row-CHUNKED loop bounds the score
+    # block at chunk x |cell| so a hot cell never materializes an m x m
+    # matrix, and each task holds one cell's (m x dim) float64 matrix
+    # (~50 MB at m=1e5, dim=64).
+    thr = float(threshold)
+
+    def _verify_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = np.vstack(pdf["__vec"].to_numpy()).astype("float64")
+        ids = pdf["__id"].to_numpy()
+        nrm = np.linalg.norm(a, axis=1)
+        out_a, out_b = [], []
+        chunk = max(1, min(len(ids), 8 * 1024 * 1024 // max(len(ids), 1) + 1))
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            g = a[lo:hi] @ a.T
+            den = np.outer(nrm[lo:hi], nrm)
+            cos = np.where(den > 0, g / np.maximum(den, 1e-300), 0.0)
+            ii, jj = np.nonzero(cos >= thr)
+            ia, jb = ids[ii + lo], ids[jj]
+            keep = ia != jb  # self-pairs score 1.0; drop them, order the rest
+            pa, pb = np.minimum(ia[keep], jb[keep]), np.maximum(ia[keep], jb[keep])
+            out_a.append(pa)
+            out_b.append(pb)
+        da = np.concatenate(out_a) if out_a else np.array([], dtype="int64")
+        db = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        res = pd.DataFrame({"id_a": da.astype("int64"), "id_b": db.astype("int64")})
+        # each qualifying pair appears once per chunked row side (a->b and
+        # b->a land in different chunks of the same cell): dedup locally
+        return res.drop_duplicates()
+
+    assigned = with_cell(ensure_parallelism(embeddings), centroids, F.col(vec_col)).select(
+        F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__vec")
     )
-    x, y = ids.alias("x"), ids.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell")) & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-    )
-    pairs = _verify_cosine_pairs(embeddings, cand, threshold, id_col, vec_col).select(
-        "id_a", "id_b"
-    )
+    pairs = assigned.groupBy("cell").applyInPandas(_verify_cell, "id_a long, id_b long")
     return drop_non_representatives(embeddings, pairs, id_col)

@@ -2126,10 +2126,25 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     tags=("E5", "E1", "B26"),
 )
 def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import ensure_parallelism, materialize_once
+
     d = load(spark, sf, "documents")
     tk = text.tokens_null_safe(F.col("text"))
-    g = (
-        d.select("doc_id", tk.alias("tk"))
+    # Round-12 (the q105/q108 pattern at a third site, measured per the r11
+    # per-site rule): the documents scan is ONE split even at sf1 (5.9 MB
+    # compressed), so the tokenize + 3-gram explode — the query's dominant
+    # map work — ran single-core, and TWICE (the gram frame feeds both the
+    # corpus-count branch and the count-join branch; Catalyst re-expands
+    # the subtree per consumer). Widen the scan before the expensive pass,
+    # then checkpoint the widened gram frame EAGERLY — lazy would leave
+    # both consumer stages racing to compute it inside the single final
+    # job (the round-12 q132 double-consumer finding) — so each gram is
+    # tokenized once, 32-wide. Interleaved A/B (3 pairs, min-of-N per leg):
+    # sf1 13.6 -> 4.6 s median (every pair improved), sf0.1 1.92 -> 1.68 s
+    # median (2 pairs improved, 1 wash — no toy-scale loss).
+    g = materialize_once(
+        ensure_parallelism(d)
+        .select("doc_id", tk.alias("tk"))
         .filter(F.size("tk") >= 3)
         .select(
             "doc_id",

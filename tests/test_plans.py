@@ -488,44 +488,54 @@ def test_q180_ranked_grams_keep_keyed_repartition(spark, sf_dir):
     assert n == expect, f"ranked gram frame frozen at {n} partitions, want {expect}"
 
 
-def test_setsim_verify_legs_keep_keyed_repartitions(spark, sf_dir):
-    """Round-11 finding (the q139/q180 hazard in the setsim family): the
-    PPJoin verify joins receive BYTE-small candidate pairs (ids + sizes,
-    ~5 MB at sf0.1) but pay one exact array_intersect per surviving row,
-    so AQE's byte-based coalescing ran both verify joins on ~5 partitions
-    at bench scale while 32 cores idled. The keyed user repartitions
-    REPLACE the joins' own exchanges (the clustering is satisfied, the
-    other side must match the pinned width), so nothing extra is paid
-    where AQE already goes wide. Measured interleaved A/B at sf0.1,
-    hash-identical output: q123 1.27 -> 0.96 s, q144 2.41 -> 1.49 s
-    median. Pin both queries' optimized plans: two keyed user
-    repartitions each (id_a then id_b). Round-12 advice fix: count inside
-    the Optimized Logical Plan section ONLY — the full extended dump
-    repeats the tree in the parsed/analyzed sections, so a whole-string
-    count would keep passing if the optimizer stripped the exchanges, and
-    the physical plan additionally confirms the exchanges survive
-    EnsureRequirements (REPARTITION_BY_NUM shuffles, AQE-exempt)."""
+def test_setsim_width_pin_lives_at_the_thin_ranked_exchange(spark, sf_dir):
+    """Round-12 layout (supersedes the r11 verify-leg repartitions): the
+    r11 fix pinned verify width with thin-pair repartitions on id_a/id_b
+    around the verify joins, but the sf1 plan audit showed AQE turns both
+    verify joins into BROADCASTS at scale, where the mid-chain
+    repartition(id_b) ships candidates WITH the attached toks_a arrays —
+    33.8 GiB of exchange data at sf1 for a join with no distribution
+    requirement. The width pin now lives at the thin ranked exchange: one
+    AQE-exempt keyed repartition(n, "id") that REPLACES the groupBy(id)
+    assembly exchange (same bytes — collect_list partials don't shrink
+    volume) and whose hash(id) == hash(id_a) layout flows through prefix
+    posting, the candidate join's streamed side, the pair dedup (grouping
+    keys ⊇ {id}), and both broadcast verify joins. Pin: exactly ONE keyed
+    user repartition in the optimized plan (two would mean the fat
+    thin-pair pins came back), surviving as an AQE-exempt
+    REPARTITION_BY_NUM shuffle in the physical plan, and NO exchange of
+    any kind downstream of the pair dedup (the fat-exchange regression
+    this round removed)."""
     for name in ("q123_setsim_join", "q144_containment_join"):
         df = QUERIES[name].spark(spark, sf_dir)
         extended = plans.explain_str(df, "extended")
-        optimized = extended.split("== Optimized Logical Plan ==")[1].split(
-            "== Physical Plan =="
-        )[0]
-        n_rep = optimized.count("RepartitionByExpression")
-        assert n_rep >= 2, (
-            f"{name} lost its keyed verify-leg repartitions (found {n_rep} "
-            "in the optimized logical plan, want >=2) — AQE will run the "
-            "array_intersect verify joins on a bytes-coalesced (near-serial) "
-            "stage"
-        )
         physical = extended.split("== Physical Plan ==")[1]
+        # (1) presence: the thin width pin survives EnsureRequirements as an
+        # AQE-exempt REPARTITION_BY_NUM shuffle. The static plan prints the
+        # shared ranked subtree once per candidate-join side (runtime
+        # exchange reuse collapses them — the executed plan reads ONE
+        # exchange twice), so the count is per-reference, not per-exchange.
         n_phys = physical.count("REPARTITION_BY_NUM")
-        # at the sf0.001 test scale the verify joins plan as BROADCAST hash
-        # joins and the planner elides one of the two user exchanges (no
-        # required distribution to satisfy); >=1 still catches wholesale
-        # removal, and the sf0.1 captures in plans/ carry both
         assert n_phys >= 1, (
-            f"{name}: keyed verify-leg repartitions survive the optimizer "
-            f"but not the physical plan (found {n_phys} REPARTITION_BY_NUM, "
-            "want >=1)"
+            f"{name}: the thin ranked width pin is gone (no "
+            "REPARTITION_BY_NUM in the physical plan) — AQE byte-coalesces "
+            "the assembly exchange and the dedup/verify pipeline runs "
+            "near-serial"
+        )
+        # (2) absence: NO hash shuffle downstream of the pair dedup. The
+        # tree prints root-first, so everything before the first dedup
+        # aggregate line is downstream of it; the r11 layout put two
+        # thin-pair repartitions there, and at sf1 the second one shipped
+        # candidates WITH attached token arrays (33.8 GiB) into a broadcast
+        # join with no distribution requirement. Broadcast exchanges and
+        # the final orderBy's range exchange are fine; hash shuffles are
+        # the regression.
+        dedup_at = physical.find("HashAggregate(keys=[id_a")
+        assert dedup_at > 0, f"{name}: pair-dedup aggregate not found in plan"
+        downstream = physical[:dedup_at]
+        n_down = downstream.count("Exchange hashpartitioning")
+        assert n_down == 0, (
+            f"{name}: {n_down} hash exchange(s) sit downstream of the pair "
+            "dedup — the verify pipeline no longer inherits the pinned "
+            "thin layout (fat-exchange regression)"
         )
